@@ -1,0 +1,130 @@
+"""Media-candidate fusion — the reference's multi-engine result merger
+(/root/reference/src/advanced_ocr/core/engine_manager.py:219-312) as one
+window pass + filter, entirely in built-in expressions.
+
+Shape: input is the candidates table (doc_id, offset, engine, text,
+confidence) — one row per (engine x media span), the columnar form of
+the reference's ThreadPool fan-out dict (engine_manager.py:167-196).
+One hash shuffle on (doc_id, offset) ranks candidates per span; the
+best row (row_number == 1) carries the group's aggregates, so no second
+shuffle and no self-join.
+
+Semantics (constants in rules.py, matching the reference exactly):
+  valid      = non-blank text AND conf > 0.1            (:238-239)
+  winner     = best valid by (conf desc, engine priority asc); if none
+               valid, best of failed by the same order   (:241-246, :262)
+  consensus  = winner + every other *valid* row with conf > 0.7 and
+               word-Jaccard(winner.text, text) > 0.8     (:272-279)
+  fused conf = |consensus| > 1 and >= 2 valid:
+                 min(1, avg(consensus conf) + min(0.05, 0.01*n))  (:281-287)
+               else winner conf
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_project_spark import rules
+from ocr_project_spark.functions.classify import jaccard_expr
+
+
+def priority_expr(engine: Column) -> Column:
+    """Engine tie-break priority (rules.ENGINE_PRIORITY), small = wins."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in rules.ENGINE_PRIORITY.items() for x in kv]
+    )
+    return F.coalesce(mapping[engine], F.lit(rules.DEFAULT_PRIORITY))
+
+
+def valid_expr(text: Column, conf: Column) -> Column:
+    return (F.length(F.trim(F.coalesce(text, F.lit("")))) > 0) & (
+        conf > F.lit(rules.VALID_CONF)
+    )
+
+
+def fuse_media_candidates(cands: DataFrame) -> DataFrame:
+    """(doc_id, offset, engine, text, confidence) ->
+    (doc_id, offset, text, confidence, method, n_consensus)."""
+    valid = valid_expr(F.col("text"), F.col("confidence"))
+
+    # Total order: valid first, then conf desc, then priority asc, then
+    # engine/text asc — pins the reference's unstable tie at
+    # engine_manager.py:262 (SURVEY.md section 7.5 hard part #2).
+    keyed = cands.select(
+        "doc_id",
+        "offset",
+        "engine",
+        "text",
+        "confidence",
+        valid.alias("is_valid"),
+        F.when(valid, 0).otherwise(1).alias("k_invalid"),
+        priority_expr(F.col("engine")).alias("k_priority"),
+        F.coalesce(F.col("text"), F.lit("")).alias("k_text"),
+    )
+    order_cols = [
+        F.col("k_invalid").asc(),
+        F.col("confidence").desc(),
+        F.col("k_priority").asc(),
+        F.col("engine").asc(),
+        F.col("k_text").asc(),
+    ]
+    w = Window.partitionBy("doc_id", "offset").orderBy(*order_cols)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    ranked = keyed.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.first("text").over(wall).alias("best_text"),
+        F.first("confidence").over(wall).alias("best_conf"),
+        F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).over(wall).alias("n_valid"),
+    )
+
+    # A non-best valid row joins the consensus iff high-confidence and
+    # word-similar to the winner (engine_manager.py:272-279).
+    agrees = (
+        (F.col("rn") > 1)
+        & F.col("is_valid")
+        & (F.col("confidence") > F.lit(rules.CONSENSUS_CONF))
+        & (jaccard_expr(F.col("best_text"), F.col("text")) > F.lit(rules.SIM_THRESHOLD))
+    )
+    scored = ranked.select(
+        "*",
+        F.sum(F.when(agrees, 1).otherwise(0)).over(wall).alias("n_agree"),
+        F.sum(F.when(agrees, F.col("confidence")).otherwise(F.lit(0.0)))
+        .over(wall)
+        .alias("agree_conf_sum"),
+    ).where(F.col("rn") == 1)
+
+    n_consensus = F.lit(1) + F.col("n_agree")
+    avg_conf = (F.col("best_conf") + F.col("agree_conf_sum")) / n_consensus
+    boosted = F.least(
+        F.lit(rules.CONF_CAP),
+        avg_conf
+        + F.least(
+            F.lit(rules.BOOST_CAP), F.lit(rules.BOOST_PER_ENGINE) * n_consensus
+        ),
+    )
+    multi_valid = F.col("n_valid") >= 2
+    has_consensus = multi_valid & (F.col("n_agree") > 0)
+
+    return scored.select(
+        "doc_id",
+        "offset",
+        F.col("best_text").alias("text"),
+        F.when(has_consensus, boosted)
+        .otherwise(F.col("best_conf"))
+        .alias("confidence"),
+        F.when(F.col("n_valid") == 0, F.lit("fallback_best_of_failed"))
+        .when(F.col("n_valid") == 1, F.lit("single_valid"))
+        .when(
+            has_consensus,
+            F.concat(F.lit("consensus_"), n_consensus, F.lit("_engines")),
+        )
+        .otherwise(F.lit("best_single"))
+        .alias("method"),
+        F.when(F.col("n_valid") == 0, F.lit(0))
+        .when(has_consensus | (F.col("n_valid") >= 1), n_consensus)
+        .cast("int")
+        .alias("n_consensus"),
+    )

@@ -1,0 +1,122 @@
+"""The flagship extraction pipeline: detect -> recognize -> fuse over
+interleaved documents, as one declarative DataFrame plan.
+
+The reference runs this per document in a Python call chain
+(/root/reference/src/advanced_ocr/pipeline.py:63-96); here the corpus is
+the DataFrame and each stage is a columnar transformation:
+
+  1. validity filter (F1, base_engine.py:86-112)
+  2. media-candidate fusion (functions/fuse.py) — one shuffle on
+     (doc_id, offset)
+  3. fused winners collapsed to one map per doc — shuffle on doc_id
+  4. LEFT join docs->fused map on doc_id (docs never exploded; span
+     arrays stay nested, so mega-doc skew stays inside one row and the
+     join key is the single hash(doc_id))
+  5. per-doc assembly with higher-order functions: stable sort by
+     (offset, storage index), media resolution via map lookup,
+     boilerplate strip (functions/classify.py), dense re-rank ->
+     (kind, text, media_ref, order)
+
+Stages 1+5 are pure codegen'd expressions; the only Python-free
+shuffles are the two hash exchanges in 2-4.  Scale note: at 10^12 docs
+the fused side of the join is ~1 row per doc (pre-aggregated), so AQE
+can pick a shuffled hash join with skew splitting; the docs side is
+hash(doc_id)-partitioned by plans/partitioning.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_project_spark.functions.classify import is_content_expr
+from ocr_project_spark.functions.fuse import fuse_media_candidates
+
+
+def _sorted_spans(spans: Column) -> Column:
+    """Stable sort by (offset, storage index).
+
+    The storage array order is untrusted (FIXTURES.md: shuffled on
+    write); the reference likewise re-sorts geometrically at
+    paddleocr.py:291-294.  Duplicate offsets keep storage order (the
+    documented stable-sort choice), pinned by the idx field.
+    """
+    indexed = F.transform(
+        spans,
+        lambda s, i: F.struct(
+            s["offset"].alias("o"),
+            i.alias("idx"),
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )
+    # array_sort on structs orders by fields left-to-right: (o, idx).
+    return F.array_sort(indexed)
+
+
+def assemble_expr(spans: Column, fused_map: Column) -> Column:
+    """spans + map<offset, struct<t,c>> -> output span array."""
+    resolved = F.transform(
+        _sorted_spans(spans),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(
+                (s["kind"] == F.lit("media"))
+                & F.element_at(fused_map, s["o"]).isNotNull(),
+                F.element_at(fused_map, s["o"])["t"],
+            )
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )
+    kept = F.filter(
+        resolved,
+        lambda s: (s["kind"] == F.lit("media")) | is_content_expr(s["text"]),
+    )
+    return F.transform(
+        kept,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("order"),
+        ),
+    )
+
+
+def valid_documents(docs: DataFrame) -> DataFrame:
+    """F1 validity predicate — the analog of the empty/shape checks at
+    base_engine.py:86-112.  Empty docs pass through with empty output
+    (the reference's NO-TEXT path, tesseract.py:147-157)."""
+    return docs.where(F.col("doc_id").isNotNull())
+
+
+def extract(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Full pipeline: (doc_id, spans) [+ candidates] -> (doc_id, spans out)."""
+    docs = valid_documents(docs)
+    if candidates is not None:
+        fused = fuse_media_candidates(candidates)
+        fused_map = fused.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("offset"),
+                        F.struct(
+                            F.col("text").alias("t"), F.col("confidence").alias("c")
+                        ),
+                    )
+                )
+            ).alias("fused_map")
+        )
+        docs = docs.join(fused_map, "doc_id", "left")
+    else:
+        docs = docs.withColumn(
+            "fused_map",
+            F.lit(None).cast("map<int,struct<t:string,c:double>>"),
+        )
+    return docs.select(
+        "doc_id",
+        assemble_expr(F.col("spans"), F.col("fused_map")).alias("spans"),
+    )

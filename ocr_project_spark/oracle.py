@@ -1,0 +1,117 @@
+"""Pure-Python reference extractor — the pytest ground truth.
+
+Implements the engine's semantics (rules.py) with naive loops, the way
+the reference library does one document at a time
+(/root/reference/src/advanced_ocr/pipeline.py:63-96).  Tests assert
+span-sequence equality (kind, text, media_ref, order) between this
+oracle and the distributed Spark pipeline on every fixture document —
+the automated analog of the reference's golden-output files
+(/root/reference/results/01_simple_ocr.txt).
+
+Fusion semantics follow engine_manager.py:219-312 exactly:
+  1. valid = non-blank text AND confidence > 0.1          (:238-239)
+  2. no valid -> best-of-failed by max confidence          (:241-246)
+  3. one valid -> it                                       (:248-252)
+  4. else: best by confidence (tie: engine priority), consensus =
+     best + every other valid with conf > 0.7 and word-Jaccard > 0.8;
+     if |consensus| > 1: conf = min(1, avg + min(0.05, 0.01*n))  (:262-292)
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ocr_project_spark import rules
+
+
+def fuse_candidates(cands: list[dict]) -> dict | None:
+    """Fuse one media span's candidate rows -> winner dict or None."""
+    if not cands:
+        return None
+
+    def sort_key(c):
+        return (
+            -c["confidence"],
+            rules.ENGINE_PRIORITY.get(c["engine"], rules.DEFAULT_PRIORITY),
+            c["engine"],
+            c["text"] or "",
+        )
+
+    valid = [
+        c
+        for c in cands
+        if (c["text"] or "").strip() and c["confidence"] > rules.VALID_CONF
+    ]
+    if not valid:
+        best = min(cands, key=sort_key)
+        return dict(
+            text=best["text"],
+            confidence=best["confidence"],
+            method="fallback_best_of_failed",
+            n_consensus=0,
+        )
+    if len(valid) == 1:
+        c = valid[0]
+        return dict(
+            text=c["text"],
+            confidence=c["confidence"],
+            method="single_valid",
+            n_consensus=1,
+        )
+    ordered = sorted(valid, key=sort_key)
+    best = ordered[0]
+    consensus = [best["confidence"]]
+    for c in ordered[1:]:
+        if c["confidence"] > rules.CONSENSUS_CONF:
+            if rules.jaccard_words(best["text"], c["text"]) > rules.SIM_THRESHOLD:
+                consensus.append(c["confidence"])
+    if len(consensus) > 1:
+        avg = sum(consensus) / len(consensus)
+        boost = min(rules.BOOST_CAP, rules.BOOST_PER_ENGINE * len(consensus))
+        conf = min(rules.CONF_CAP, avg + boost)
+        method = f"consensus_{len(consensus)}_engines"
+    else:
+        conf = best["confidence"]
+        method = "best_single"
+    return dict(
+        text=best["text"], confidence=conf, method=method, n_consensus=len(consensus)
+    )
+
+
+def extract_document(doc: dict, cands_by_key: dict | None = None) -> dict:
+    """Extract one document -> {doc_id, spans: [(kind,text,media_ref,order)]}.
+
+    Pipeline: stable-sort spans by (offset, storage index) -> resolve
+    media spans through fusion -> strip boilerplate text spans -> dense
+    re-rank ``order``.
+    """
+    cands_by_key = cands_by_key or {}
+    indexed = sorted(
+        enumerate(doc["spans"] or []), key=lambda p: (p[1]["offset"], p[0])
+    )
+    out = []
+    for _, s in indexed:
+        if s["kind"] == "media":
+            fused = fuse_candidates(cands_by_key.get((doc["doc_id"], s["offset"]), []))
+            text = fused["text"] if fused is not None else s["text"]
+            out.append(dict(kind="media", text=text, media_ref=s["media_ref"]))
+        else:
+            if rules.is_content(s["text"]):
+                out.append(dict(kind="text", text=s["text"], media_ref=s["media_ref"]))
+    return dict(
+        doc_id=doc["doc_id"],
+        spans=[
+            dict(kind=s["kind"], text=s["text"], media_ref=s["media_ref"], order=i)
+            for i, s in enumerate(out)
+        ],
+    )
+
+
+def extract_corpus(docs: list[dict], cands: list[dict]) -> dict[str, list[dict]]:
+    """Extract every document -> {doc_id: [out spans]}."""
+    by_key: dict = defaultdict(list)
+    for c in cands:
+        by_key[(c["doc_id"], c["offset"])].append(c)
+    return {
+        d["doc_id"]: extract_document(d, by_key)["spans"] for d in docs
+    }

@@ -1,0 +1,74 @@
+"""The engine's classification & fusion semantics — single source of truth.
+
+Constants mirror the reference's fusion business logic exactly
+(/root/reference/src/advanced_ocr/core/engine_manager.py:238-292):
+validity floor 0.1, consensus confidence gate 0.7, Jaccard similarity
+threshold 0.8, boost min(0.05, 0.01*n) capped at 1.0.
+
+The text-span classifier is the Boilerpipe-style density rule the new
+engine uses in place of the reference's per-pixel quality analysis
+(quality_analyzer.py:51-119): a span is *content* iff it has at least
+CONTENT_MIN_TOKENS whitespace tokens AND a link-marker density below
+MAX_LINK_DENSITY.  Everything else is boilerplate and is stripped.
+
+Both the pure-Python oracle (oracle.py) and the Spark expressions
+(functions/classify.py, functions/fuse.py) implement these rules; tests
+assert the two agree span-for-span.
+"""
+
+from __future__ import annotations
+
+# --- text-span classification (Boilerpipe-style density rule) ---
+LINK_TOKEN = "<a>"          # generator's link marker token
+CONTENT_MIN_TOKENS = 8      # content spans have >= 8 tokens
+MAX_LINK_DENSITY = 0.4      # content spans have < 40% link tokens
+
+# --- media-candidate fusion (reference constants, engine_manager.py) ---
+VALID_CONF = 0.1            # engine_manager.py:238-239 validity floor
+CONSENSUS_CONF = 0.7        # engine_manager.py:272-273 high-confidence gate
+SIM_THRESHOLD = 0.8         # engine_manager.py:274-276 Jaccard threshold
+BOOST_CAP = 0.05            # engine_manager.py:284
+BOOST_PER_ENGINE = 0.01     # engine_manager.py:284
+CONF_CAP = 1.0              # engine_manager.py:285
+
+# Deterministic tie-break order for equal confidence (the reference's
+# sort at engine_manager.py:262 is dict-order-unstable; we pin a total
+# order: confidence desc, then this priority asc, mirroring the
+# engines.yaml priority list idea).
+ENGINE_PRIORITY: dict[str, int] = {"rec_a": 0, "rec_b": 1, "rec_c": 2, "rec_d": 3}
+DEFAULT_PRIORITY = 99
+
+
+def n_tokens(text: str | None) -> int:
+    if text is None:
+        return 0
+    return len(text.split())
+
+
+def link_density(text: str | None) -> float:
+    if text is None:
+        return 0.0
+    toks = text.split()
+    if not toks:
+        return 0.0
+    return sum(1 for t in toks if t == LINK_TOKEN) / len(toks)
+
+
+def is_content(text: str | None) -> bool:
+    """The span-level boilerplate rule (pure-Python form)."""
+    toks = [] if text is None else text.split()
+    if len(toks) < CONTENT_MIN_TOKENS:
+        return False
+    links = sum(1 for t in toks if t == LINK_TOKEN)
+    return links / len(toks) < MAX_LINK_DENSITY
+
+
+def jaccard_words(a: str | None, b: str | None) -> float:
+    """Word-set Jaccard similarity, exactly as engine_manager.py:314-329."""
+    if not a or not b:
+        return 0.0
+    w1 = set(a.lower().split())
+    w2 = set(b.lower().split())
+    if not w1 or not w2:
+        return 1.0 if a.strip() == b.strip() else 0.0
+    return len(w1 & w2) / len(w1 | w2)

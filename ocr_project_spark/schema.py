@@ -1,0 +1,104 @@
+"""Explicit StructType schemas — never inferSchema.
+
+The reference declares every type as a fixed dataclass
+(/root/reference/src/advanced_ocr/types.py); we pin the equivalent Spark
+schemas here.  Input schema is the BASELINE.json ``input_hint`` contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Input span element: one interleaved unit of a document.
+# Analog of TextRegion (/root/reference/src/advanced_ocr/types.py:139-166):
+# kind <-> text_type, offset <-> reading_order/bbox, media_ref <-> image ref.
+SPAN = StructType(
+    [
+        StructField("kind", StringType(), False),       # "text" | "media"
+        StructField("text", StringType(), True),
+        StructField("media_ref", StringType(), True),   # "" for text spans
+        StructField("offset", IntegerType(), False),    # document order
+    ]
+)
+
+# Authoritative input table (BASELINE.json input_hint).
+DOCUMENTS_SPANS = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN), True),
+    ]
+)
+
+# Output span element: boilerplate removed, media resolved, dense order.
+# Analog of the fused OCRResult region list (types.py:210-255).
+OUT_SPAN = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("media_ref", StringType(), True),
+        StructField("order", IntegerType(), False),
+    ]
+)
+
+EXTRACTED = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(OUT_SPAN), True),
+    ]
+)
+
+# Per-engine candidate recognitions for media spans.  Analog of the
+# per-engine OCRResult dict keyed by engine name
+# (/root/reference/src/advanced_ocr/core/engine_manager.py:144-165).
+MEDIA_CANDIDATES = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("offset", IntegerType(), False),
+        StructField("engine", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("confidence", DoubleType(), False),
+    ]
+)
+
+# Fused winner per media span.  Analog of the combined OCRResult
+# (engine_manager.py:294-310).
+FUSED = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("offset", IntegerType(), False),
+        StructField("text", StringType(), True),
+        StructField("confidence", DoubleType(), False),
+        StructField("method", StringType(), False),
+        StructField("n_consensus", IntegerType(), False),
+    ]
+)
+
+# Checkpoint / lineage tables (FIXTURES.md section 4).
+WATERMARKS = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("bucket", IntegerType(), False),
+        StructField("status", StringType(), False),
+        StructField("docs_done", LongType(), False),
+        StructField("committed_at_ticks", LongType(), False),
+    ]
+)
+
+METRICS = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("bucket", IntegerType(), False),
+        StructField("stage", StringType(), False),
+        StructField("docs", LongType(), False),
+        StructField("errors", LongType(), False),
+        StructField("elapsed_ms", LongType(), False),
+    ]
+)

@@ -1,0 +1,51 @@
+"""SparkSession factory with the engine's standard configuration.
+
+The reference initializes its engines once per process
+(/root/reference/src/advanced_ocr/pipeline.py:50-61); our analog is a
+single SparkSession configured for Arrow-vectorized Python crossings,
+AQE (runtime re-planning, skew-join splitting) and a shuffle width
+sized to the machine rather than the default 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ocr_project_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        # ~2x cores: enough tasks for AQE to coalesce, few enough that
+        # small-SF local runs are not dominated by task dispatch.
+        shuffle_partitions = max(8, 2 * cpus)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Arrow batches for every pandas UDF / toPandas crossing.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # AQE: runtime partition coalescing + skew-join splitting — the
+        # declarative replacement for the reference's hand-rolled
+        # strategy heuristics (SURVEY.md section 4).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
