@@ -1,0 +1,890 @@
+"""Driver-contract query catalog: Spark implementation + DuckDB oracle
+for every SQL-expressible operator from SURVEY.md section 2.
+
+Each entry in SPARK_QUERIES is ``(spark, sf_dir) -> DataFrame``; the
+matching ORACLE_SQL string is ANSI/DuckDB SQL over the driver's
+pre-registered views (region nation customer supplier part orders
+lineitem events documents embeddings).  Column names and types are
+aligned pairwise; float outputs are rounded to 4 decimals on both
+sides so IEEE accumulation-order differences cannot flip the driver's
+value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_project_spark.functions import text as TX
+from ocr_project_spark.functions.classify import (
+    is_content_expr,
+    jaccard_expr,
+    link_count_expr,
+    n_tokens_expr,
+)
+from ocr_project_spark.functions.fuse import fuse_media_candidates
+from ocr_project_spark.operators import dedup as DD
+from ocr_project_spark.operators import similarity as SIM
+from ocr_project_spark.operators.sessionize import sessionize_by_time
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------
+# DuckDB SQL fragments reused across oracles
+# --------------------------------------------------------------------
+_WS_TOKS = (
+    "list_filter(regexp_split_to_array(coalesce({c},'') , '\\s+'), x -> x <> '')"
+)
+_WORD_TOKS = (
+    "list_filter(regexp_split_to_array(lower(coalesce({c},'')), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+
+# --------------------------------------------------------------------
+# 1. Flagship: boilerplate-strip extraction over derived spans
+#    (K9/K13 analog on the driver's flat documents table)
+# --------------------------------------------------------------------
+def q_extract_clean_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.posexplode(TX.chunk_spans(F.col("text"), 10)).alias("idx", "span_text")
+    )
+    n = TX.tokens(F.col("span_text"))
+    content = (F.size(n) >= 8) & (
+        F.size(F.filter(n, lambda t: t == F.lit("a"))) / F.size(n) < 0.4
+    )
+    kept = chunks.where(content)
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    return kept.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("int").alias("span_order"),
+        "span_text",
+    )
+
+
+_SQL_EXTRACT = """
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(0, greatest(cast(ceil(len(toks)/10.0) AS int),1)-1),
+             i -> {{'idx': i,
+                   'txt': array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')}})) AS ch
+  FROM t
+), s AS (
+  SELECT doc_id, ch.idx AS idx, ch.txt AS span_text,
+         {ctoks} AS ctoks
+  FROM c
+), k AS (
+  SELECT doc_id, idx, span_text FROM s
+  WHERE len(ctoks) >= 8
+    AND len(list_filter(ctoks, x -> x = 'a')) * 1.0 / len(ctoks) < 0.4
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS int) AS span_order,
+       span_text
+FROM k
+""".format(toks=_WS_TOKS.format(c="text"), ctoks=_WS_TOKS.format(c="ch.txt"))
+
+
+# --------------------------------------------------------------------
+# 2. Fusion (J1/J2/A6/W1/O5/U1): derive 3 candidate "recognitions" per
+#    document deterministically, fuse with the reference semantics.
+# --------------------------------------------------------------------
+def _derived_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    head = F.array_join(F.slice(toks, 1, 10), " ")
+    tail = F.array_join(F.slice(toks, 11, 10), " ")
+    base = docs.select("doc_id", head.alias("head"), tail.alias("tail"))
+    a = base.select(
+        "doc_id",
+        F.lit(0).cast("int").alias("offset"),
+        F.lit("rec_a").alias("engine"),
+        F.col("head").alias("text"),
+        (((F.col("doc_id") * 37 + 11) % 80 + 15) / 100.0).alias("confidence"),
+    )
+    b = base.select(
+        "doc_id",
+        F.lit(0).cast("int").alias("offset"),
+        F.lit("rec_b").alias("engine"),
+        F.col("head").alias("text"),
+        (((F.col("doc_id") * 53 + 7) % 80 + 15) / 100.0).alias("confidence"),
+    )
+    c = base.select(
+        "doc_id",
+        F.lit(0).cast("int").alias("offset"),
+        F.lit("rec_c").alias("engine"),
+        F.col("tail").alias("text"),
+        (((F.col("doc_id") * 29 + 3) % 80 + 15) / 100.0).alias("confidence"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q_fuse_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fused = fuse_media_candidates(_derived_candidates(spark, sf_dir))
+    return fused.select(
+        "doc_id",
+        "text",
+        F.round("confidence", 4).alias("confidence"),
+        "method",
+        "n_consensus",
+    )
+
+
+_SQL_FUSE = """
+WITH base AS (
+  SELECT doc_id,
+         array_to_string(list_slice({toks}, 1, 10), ' ')  AS head,
+         array_to_string(list_slice({toks}, 11, 20), ' ') AS tail
+  FROM documents
+), cands AS (
+  SELECT doc_id, 'rec_a' AS engine, head AS text,
+         ((doc_id*37+11) % 80 + 15) / 100.0 AS confidence FROM base
+  UNION ALL
+  SELECT doc_id, 'rec_b', head, ((doc_id*53+7) % 80 + 15) / 100.0 FROM base
+  UNION ALL
+  SELECT doc_id, 'rec_c', tail, ((doc_id*29+3) % 80 + 15) / 100.0 FROM base
+), keyed AS (
+  SELECT *,
+    (trim(coalesce(text,'')) <> '' AND confidence > 0.1) AS is_valid,
+    CASE engine WHEN 'rec_a' THEN 0 WHEN 'rec_b' THEN 1
+                WHEN 'rec_c' THEN 2 WHEN 'rec_d' THEN 3 ELSE 99 END AS prio
+  FROM cands
+), ranked AS (
+  SELECT *,
+    row_number()            OVER w AS rn,
+    first_value(text)       OVER w AS best_text,
+    first_value(confidence) OVER w AS best_conf,
+    sum(CASE WHEN is_valid THEN 1 ELSE 0 END) OVER w2 AS n_valid
+  FROM keyed
+  WINDOW w AS (PARTITION BY doc_id
+               ORDER BY (CASE WHEN is_valid THEN 0 ELSE 1 END),
+                        confidence DESC, prio, engine, coalesce(text,'')
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+         w2 AS (PARTITION BY doc_id)
+), jac AS (
+  SELECT *,
+    CASE WHEN coalesce(best_text,'') = '' OR coalesce(text,'') = '' THEN 0.0
+         WHEN len(list_distinct({btoks})) = 0 OR len(list_distinct({ttoks})) = 0
+           THEN CASE WHEN trim(best_text) = trim(text) THEN 1.0 ELSE 0.0 END
+         ELSE len(list_intersect(list_distinct({btoks}), list_distinct({ttoks}))) * 1.0
+              / len(list_distinct(list_concat(list_distinct({btoks}), list_distinct({ttoks}))))
+    END AS sim
+  FROM ranked
+), flagged AS (
+  SELECT *,
+    (rn > 1 AND is_valid AND confidence > 0.7 AND sim > 0.8) AS agrees
+  FROM jac
+), grouped AS (
+  SELECT doc_id,
+    max(CASE WHEN rn = 1 THEN best_text END)  AS best_text,
+    max(CASE WHEN rn = 1 THEN best_conf END)  AS best_conf,
+    max(n_valid)                              AS n_valid,
+    sum(CASE WHEN agrees THEN 1 ELSE 0 END)   AS n_agree,
+    sum(CASE WHEN agrees THEN confidence ELSE 0.0 END) AS agree_conf_sum
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id,
+  best_text AS text,
+  round(CASE WHEN n_valid >= 2 AND n_agree > 0
+        THEN least(1.0, (best_conf + agree_conf_sum) / (1 + n_agree)
+                        + least(0.05, 0.01 * (1 + n_agree)))
+        ELSE best_conf END, 4) AS confidence,
+  CASE WHEN n_valid = 0 THEN 'fallback_best_of_failed'
+       WHEN n_valid = 1 THEN 'single_valid'
+       WHEN n_agree > 0 THEN 'consensus_' || (1 + n_agree) || '_engines'
+       ELSE 'best_single' END AS method,
+  CAST(CASE WHEN n_valid = 0 THEN 0 ELSE 1 + n_agree END AS int) AS n_consensus
+FROM grouped
+""".format(
+    toks=_WS_TOKS.format(c="text"),
+    btoks=_WORD_TOKS.format(c="best_text"),
+    ttoks=_WORD_TOKS.format(c="text"),
+)
+
+
+# --------------------------------------------------------------------
+# 3-5. Window family: sessionization (W3), reading order (W2), gaps (W4)
+# --------------------------------------------------------------------
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    s = sessionize_by_time(ev, "user_id", "ts", 600.0)
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("int").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.count(F.lit(1)) / (F.max("session_id") + 1), 4).alias("avg_session_len"),
+    )
+
+
+_SQL_SESSION = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS d
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(CASE WHEN d IS NULL OR d <= 600 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY user_id ORDER BY
+                 (SELECT NULL) ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       CAST(max(sid) + 1 AS int) AS n_sessions,
+       count(*) AS n_events,
+       round(count(*) * 1.0 / (max(sid) + 1), 4) AS avg_session_len
+FROM s GROUP BY user_id
+"""
+
+
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).cast("int").alias("rn")
+    )
+
+
+_SQL_READING_ORDER = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS int) AS rn
+FROM events
+"""
+
+
+def q_gap_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    from ocr_project_spark.operators.sessionize import epoch_seconds
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = epoch_seconds(F.col("ts"))
+    gap = sec - F.lag(sec).over(w)
+    cls = (
+        F.when(gap.isNull(), "first")
+        .when(gap <= 60, "tight")
+        .when(gap <= 600, "normal")
+        .otherwise("wide")
+    )
+    return ev.select("event_id", cls.alias("gap_class"))
+
+
+_SQL_GAP_CLASS = """
+WITH g AS (
+  SELECT event_id,
+         epoch(ts) - lag(epoch(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN d IS NULL THEN 'first'
+            WHEN d <= 60  THEN 'tight'
+            WHEN d <= 600 THEN 'normal'
+            ELSE 'wide' END AS gap_class
+FROM g
+"""
+
+
+# --------------------------------------------------------------------
+# 6-10. Ranking + aggregation family (W1, A2-A6, O5)
+# --------------------------------------------------------------------
+def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("best_price"))
+    )
+
+
+_SQL_TOP1 = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS best_price
+FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber) AS rn FROM lineitem)
+WHERE rn = 1
+"""
+
+
+def q_weighted_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity") * F.when(F.col("l_discount") > 0.05, 1.2).otherwise(1.0)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * w) / F.sum(w), 4).alias("weighted_avg_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_SQL_WEIGHTED = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_extendedprice * l_quantity * (CASE WHEN l_discount > 0.05 THEN 1.2 ELSE 1.0 END))
+        / sum(l_quantity * (CASE WHEN l_discount > 0.05 THEN 1.2 ELSE 1.0 END)), 4)
+    AS weighted_avg_price,
+  count(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    success = F.col("o_totalprice") > 100000
+    return o.agg(
+        F.sum(F.when(success, 1).otherwise(0)).alias("n_success"),
+        F.sum(F.when(success, 0).otherwise(1)).alias("n_failed"),
+        F.round(F.avg(F.when(success, F.col("o_totalprice"))), 2).alias("avg_success_price"),
+        F.round(100.0 * F.sum(F.when(success, 1).otherwise(0)) / F.count(F.lit(1)), 4).alias(
+            "success_rate"
+        ),
+    )
+
+
+_SQL_BATCH_STATS = """
+SELECT CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS bigint) AS n_success,
+       CAST(sum(CASE WHEN o_totalprice > 100000 THEN 0 ELSE 1 END) AS bigint) AS n_failed,
+       round(avg(CASE WHEN o_totalprice > 100000 THEN o_totalprice END), 2) AS avg_success_price,
+       round(100.0 * sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) / count(*), 4)
+         AS success_rate
+FROM orders
+"""
+
+
+def q_consensus_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    base = F.avg(F.col("o_totalprice") / 1000000.0)
+    fused = F.least(F.lit(1.0), base + F.least(F.lit(0.05), F.lit(0.01) * n))
+    return o.groupBy("o_custkey").agg(
+        F.round(fused, 4).alias("fused_conf"), n.alias("n_results")
+    )
+
+
+_SQL_CONSENSUS_BOOST = """
+SELECT o_custkey,
+       round(least(1.0, avg(o_totalprice / 1000000.0)
+                        + least(0.05, 0.01 * count(*))), 4) AS fused_conf,
+       count(*) AS n_results
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_SQL_ENVELOPE = """
+SELECT l_partkey,
+       round(min(l_quantity), 2) AS min_qty,
+       round(max(l_quantity), 2) AS max_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+# --------------------------------------------------------------------
+# 11-14. Joins & set ops (J1, J1b, U1, U2)
+# --------------------------------------------------------------------
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    sup = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region")
+    dims = F.broadcast(
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).join(
+            F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+        )
+    )
+    j = li.join(dims, li.l_suppkey == dims.s_suppkey)
+    return j.groupBy("r_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_SQL_REGION_REVENUE = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_left_join_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(F.round(F.max("o_totalprice"), 2), F.lit(0.0)).alias("best_price"),
+    )
+
+
+_SQL_LEFT_JOIN = """
+SELECT c_custkey,
+       count(o_orderkey) AS n_orders,
+       coalesce(round(max(o_totalprice), 2), 0.0) AS best_price
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    j = a.join(b, a.id_a + 1 == b.id_b)
+    return j.select(
+        "id_a", "id_b", F.round(jaccard_expr(F.col("ta"), F.col("tb")), 4).alias("jaccard")
+    )
+
+
+_SQL_JACCARD_ADJ = """
+WITH d AS (SELECT doc_id, list_distinct({toks}) AS ws FROM documents WHERE doc_id < 300)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.ws, b.ws)) * 1.0
+             / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
+FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id
+""".format(toks="list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\\s+'), x -> x <> '')")
+
+
+def q_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", F.lit("high").alias("tag")
+    )
+    ur = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("tag")
+    )
+    return hi.unionByName(ur)
+
+
+_SQL_UNION = """
+SELECT o_orderkey, 'high' AS tag FROM orders WHERE o_totalprice > 300000
+UNION ALL
+SELECT o_orderkey, 'urgent' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+# --------------------------------------------------------------------
+# 15-17. Deduplication tiers
+# --------------------------------------------------------------------
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(T(spark, sf_dir, "documents"))
+
+
+_SQL_EXACT_DEDUP = """
+SELECT md5(array_to_string({toks}, ' ')) AS text_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    p = DD.ngram_jaccard_pairs(d, n=3, threshold=0.05)
+    return p.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+_SQL_NEAR_DUP = """
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 150
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(generate_series(0, len(toks)-3),
+        i -> array_to_string(list_slice(toks, i+1, i+3), ' ')))
+    ELSE [array_to_string(toks, ' ')] END AS s
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.05
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return DD.minhash_lsh_pairs(d, n=3, k=16, bands=4)
+
+
+_SQL_MINHASH = """
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 150
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(generate_series(0, len(toks)-3),
+        i -> array_to_string(list_slice(toks, i+1, i+3), ' ')))
+    ELSE [array_to_string(toks, ' ')] END AS s
+  FROM t
+), sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 15),
+      h -> list_aggregate(list_transform(s, x -> md5(h || '|' || x)), 'min')) AS sg
+  FROM sh
+), banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_slice(sg, b*4+1, b*4+4), '|')) AS bucket
+  FROM sig, unnest(generate_series(0, 3)) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
+# --------------------------------------------------------------------
+# 18-19. Embedding similarity search
+# --------------------------------------------------------------------
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    res = SIM.cosine_topk(emb.where(F.col("vec_id") != 0), [float(x) for x in qvec], k=5)
+    return res.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+_SQL_COSINE_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_inner_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(qv, qv))), 4) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY list_inner_product(CAST(embedding AS DOUBLE[]), qv)
+           / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(qv, qv))) DESC, vec_id
+LIMIT 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    rows = {r["vec_id"]: r["embedding"] for r in emb.where(F.col("vec_id") <= 4).collect()}
+    qvec = [float(x) for x in rows[0]]
+    planes = [[float(x) for x in rows[i]] for i in (1, 2, 3, 4)]
+    res = SIM.ann_lsh_topk(emb.where(F.col("vec_id") > 4), qvec, planes, k=5)
+    return res.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+_SQL_ANN_LSH = """
+WITH p AS (
+  SELECT max(CASE WHEN vec_id = 0 THEN CAST(embedding AS DOUBLE[]) END) AS qv,
+         max(CASE WHEN vec_id = 1 THEN CAST(embedding AS DOUBLE[]) END) AS p1,
+         max(CASE WHEN vec_id = 2 THEN CAST(embedding AS DOUBLE[]) END) AS p2,
+         max(CASE WHEN vec_id = 3 THEN CAST(embedding AS DOUBLE[]) END) AS p3,
+         max(CASE WHEN vec_id = 4 THEN CAST(embedding AS DOUBLE[]) END) AS p4
+  FROM embeddings WHERE vec_id <= 4
+), sigs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    (CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), p1) >= 0 THEN '1' ELSE '0' END)
+ || (CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), p2) >= 0 THEN '1' ELSE '0' END)
+ || (CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), p3) >= 0 THEN '1' ELSE '0' END)
+ || (CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), p4) >= 0 THEN '1' ELSE '0' END) AS sig,
+    (CASE WHEN list_inner_product(qv, p1) >= 0 THEN '1' ELSE '0' END)
+ || (CASE WHEN list_inner_product(qv, p2) >= 0 THEN '1' ELSE '0' END)
+ || (CASE WHEN list_inner_product(qv, p3) >= 0 THEN '1' ELSE '0' END)
+ || (CASE WHEN list_inner_product(qv, p4) >= 0 THEN '1' ELSE '0' END) AS qsig,
+    qv
+  FROM embeddings, p WHERE vec_id > 4
+)
+SELECT vec_id,
+       round(list_inner_product(v, qv)
+             / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 4) AS cosine
+FROM sigs WHERE sig = qsig
+ORDER BY list_inner_product(v, qv)
+           / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) DESC, vec_id
+LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------
+# 20-25. Text analysis family (K1, K3, C2-C11, A8-A9)
+# --------------------------------------------------------------------
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    score = TX.quality_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(score, 4).alias("quality"),
+        TX.quality_level(score).alias("level"),
+        TX.strategy(score).alias("strategy"),
+    )
+
+
+_SQL_QUALITY = """
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), f AS (
+  SELECT doc_id,
+    least(1.0, len(toks) / 100.0) AS length_score,
+    CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0.0 END AS diversity,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z0-9]+'))) * 1.0 / len(toks)
+    ELSE 0.0 END AS alnum,
+    1.0 - CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, x -> x = 'a')) * 1.0 / len(toks) ELSE 0.0 END AS link_pen
+  FROM t
+), s AS (
+  SELECT doc_id,
+         0.30*length_score + 0.25*diversity + 0.25*alnum + 0.20*link_pen AS score
+  FROM f
+)
+SELECT doc_id, round(score, 4) AS quality,
+  CASE WHEN score >= 0.8 THEN 'excellent' WHEN score >= 0.6 THEN 'good'
+       WHEN score >= 0.4 THEN 'fair' WHEN score >= 0.2 THEN 'poor'
+       ELSE 'unusable' END AS level,
+  CASE WHEN score >= 0.8 THEN 'minimal' WHEN score >= 0.4 THEN 'balanced'
+       ELSE 'enhanced' END AS strategy
+FROM s
+""".format(toks=_WS_TOKS.format(c="text"))
+
+
+def q_strategy_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(TX.strategy(TX.quality_score(F.col("text"))).alias("strategy"))
+        .groupBy("strategy")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SQL_STRATEGY = """
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), s AS (
+  SELECT 0.30*least(1.0, len(toks)/100.0)
+       + 0.25*(CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))*1.0/len(toks) ELSE 0.0 END)
+       + 0.25*(CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z0-9]+')))*1.0/len(toks)
+           ELSE 0.0 END)
+       + 0.20*(1.0 - CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> x = 'a'))*1.0/len(toks) ELSE 0.0 END) AS score
+  FROM t
+)
+SELECT CASE WHEN score >= 0.8 THEN 'minimal' WHEN score >= 0.4 THEN 'balanced'
+            ELSE 'enhanced' END AS strategy,
+       count(*) AS n_docs
+FROM s GROUP BY 1
+""".format(toks=_WS_TOKS.format(c="text"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+_SQL_LANG = """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT doc_id,
+  CASE WHEN len(toks) > 0 AND
+    len(list_filter(toks, x -> list_contains(
+      ['the','a','an','of','and','to','in','is','it','for'], x))) * 1.0 / len(toks) >= 0.05
+  THEN 'en' ELSE 'unk' END AS lang_guess
+FROM t
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+_SQL_FINGERPRINT = """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS bigint),
+      list_transform(toks, x -> CAST(length(x)*7 + ascii(substring(x,1,1)) AS bigint))),
+    (a, b) -> (a * 31 + b) % 2147483647) AS fp
+FROM t
+""".format(toks=_WS_TOKS.format(c="text"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    ws = TX.tokens(F.col("text"))
+    wd = TX.word_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(wd).alias("n_word_tokens"),
+        F.size(F.array_distinct(wd)).alias("n_distinct"),
+        F.size(F.filter(ws, lambda t: F.length(t) > 5)).alias("n_long_tokens"),
+    )
+
+
+_SQL_TOKEN_STATS = """
+WITH t AS (
+  SELECT doc_id, {ws} AS ws, {wd} AS wd FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS int) AS n_ws_tokens,
+       CAST(len(wd) AS int) AS n_word_tokens,
+       CAST(len(list_distinct(wd)) AS int) AS n_distinct,
+       CAST(len(list_filter(ws, x -> length(x) > 5)) AS int) AS n_long_tokens
+FROM t
+""".format(ws=_WS_TOKS.format(c="text"), wd=_WORD_TOKS.format(c="text"))
+
+
+def q_bucket_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 100, "xs")
+        .when(F.col("n_chars") < 200, "s")
+        .when(F.col("n_chars") < 300, "m")
+        .when(F.col("n_chars") < 400, "l")
+        .otherwise("xl")
+    )
+    return d.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_SQL_BUCKET = """
+SELECT CASE WHEN n_chars < 100 THEN 'xs' WHEN n_chars < 200 THEN 's'
+            WHEN n_chars < 300 THEN 'm' WHEN n_chars < 400 THEN 'l'
+            ELSE 'xl' END AS bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_boost_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    base = F.col("l_discount") * 10
+    mult = (
+        F.when(F.col("l_quantity") > 40, 1.3)
+        .when(F.col("l_quantity") > 25, 1.2)
+        .when(F.col("l_quantity") > 10, 1.1)
+        .otherwise(1.0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.least(F.lit(1.0), base * mult), 4).alias("boosted_conf"),
+    )
+
+
+_SQL_BOOST = """
+SELECT l_orderkey, l_linenumber,
+  round(least(1.0, l_discount * 10 *
+    (CASE WHEN l_quantity > 40 THEN 1.3 WHEN l_quantity > 25 THEN 1.2
+          WHEN l_quantity > 10 THEN 1.1 ELSE 1.0 END)), 4) AS boosted_conf
+FROM lineitem WHERE l_orderkey < 500
+"""
+
+
+def q_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.word_tokens(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("n_distinct_tokens"))
+    )
+
+
+_SQL_DISTINCT_TOKENS = """
+SELECT count(DISTINCT tok) AS n_distinct_tokens
+FROM (SELECT unnest({toks}) AS tok FROM documents)
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+_SQL_TOPK_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------
+SPARK_QUERIES = {
+    "extract_clean_spans": q_extract_clean_spans,
+    "fuse_candidates": q_fuse_candidates,
+    "session_stats": q_session_stats,
+    "reading_order": q_reading_order,
+    "gap_class": q_gap_class,
+    "top1_per_group": q_top1_per_group,
+    "weighted_confidence": q_weighted_confidence,
+    "batch_stats": q_batch_stats,
+    "consensus_boost": q_consensus_boost,
+    "envelope": q_envelope,
+    "region_revenue": q_region_revenue,
+    "left_join_fallback": q_left_join_fallback,
+    "jaccard_adjacent": q_jaccard_adjacent,
+    "union_slices": q_union_slices,
+    "exact_dedup": q_exact_dedup,
+    "near_dup_pairs": q_near_dup_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "quality_scores": q_quality_scores,
+    "strategy_routing": q_strategy_routing,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "token_stats": q_token_stats,
+    "bucket_ladder": q_bucket_ladder,
+    "boost_ladder": q_boost_ladder,
+    "distinct_tokens": q_distinct_tokens,
+    "topk_orders": q_topk_orders,
+}
+
+ORACLE_SQL = {
+    "extract_clean_spans": _SQL_EXTRACT,
+    "fuse_candidates": _SQL_FUSE,
+    "session_stats": _SQL_SESSION,
+    "reading_order": _SQL_READING_ORDER,
+    "gap_class": _SQL_GAP_CLASS,
+    "top1_per_group": _SQL_TOP1,
+    "weighted_confidence": _SQL_WEIGHTED,
+    "batch_stats": _SQL_BATCH_STATS,
+    "consensus_boost": _SQL_CONSENSUS_BOOST,
+    "envelope": _SQL_ENVELOPE,
+    "region_revenue": _SQL_REGION_REVENUE,
+    "left_join_fallback": _SQL_LEFT_JOIN,
+    "jaccard_adjacent": _SQL_JACCARD_ADJ,
+    "union_slices": _SQL_UNION,
+    "exact_dedup": _SQL_EXACT_DEDUP,
+    "near_dup_pairs": _SQL_NEAR_DUP,
+    "minhash_lsh_pairs": _SQL_MINHASH,
+    "cosine_topk": _SQL_COSINE_TOPK,
+    "ann_lsh_topk": _SQL_ANN_LSH,
+    "quality_scores": _SQL_QUALITY,
+    "strategy_routing": _SQL_STRATEGY,
+    "lang_id": _SQL_LANG,
+    "fingerprint": _SQL_FINGERPRINT,
+    "token_stats": _SQL_TOKEN_STATS,
+    "bucket_ladder": _SQL_BUCKET,
+    "boost_ladder": _SQL_BOOST,
+    "distinct_tokens": _SQL_DISTINCT_TOKENS,
+    "topk_orders": _SQL_TOPK_ORDERS,
+}

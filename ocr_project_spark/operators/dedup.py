@@ -1,0 +1,146 @@
+"""Deduplication operators for large-scale corpus hygiene.
+
+Not present in the reference (single-document library); added per the
+training-data-pipeline mandate.  Four tiers:
+
+  exact          md5(normalized text) hash-groupBy — one shuffle
+  ngram_jaccard  pairwise token-set Jaccard above a threshold on a
+                 bounded candidate set (the exact oracle for the
+                 approximate tiers)
+  minhash_lsh    MinHash signatures via k independent keyed md5 hashes
+                 (string-min per hash — deterministic and portable to
+                 the DuckDB oracle), banded into LSH buckets so
+                 candidate pairs come from a bucket equi-join, never a
+                 theta join.  This is the 100 TB-scale path.
+  simhash        64-bit SimHash from token md5 bits (vectorized pandas
+                 UDF in functions/engine_udfs.py; near-dup = Hamming
+                 distance <= r via bit-band bucketing)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_project_spark.functions.text import word_tokens
+
+
+def normalized_text(text: Column) -> Column:
+    return F.array_join(word_tokens(text), " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical normalized texts -> keeper id + duplicate count."""
+    return (
+        df.select(F.md5(normalized_text(F.col(text_col))).alias("text_hash"), id_col)
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set."""
+    toks = word_tokens(text)
+    cnt = F.size(toks)
+    return F.when(cnt >= n, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def jaccard_sets(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard — exact but O(n^2); callers bound the
+    input (it is the verification oracle for minhash_lsh_pairs)."""
+    s = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard_sets(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(text: Column, n: int = 3, k: int = 16) -> Column:
+    """k MinHash values: min over shingles of md5(i || shingle).
+
+    String-min of keyed md5 == a permutation-min sketch; identical
+    and deterministic in Spark and DuckDB (the oracle requirement),
+    unlike murmur-based hashes which differ across engines.
+    """
+    sh = shingles(text, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(str(i) + "|"), s))))
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signature of k hashes split into ``bands`` bands of k/bands rows;
+    docs sharing any band hash land in the same bucket.  Candidate
+    generation is a groupBy + self-equi-join on (band, bucket_hash) —
+    shuffle-partitioned by bucket, no cross product.  At 100 TB scale
+    this is the only join shape that survives: bucket sizes are
+    bounded, and AQE skew-split handles hot buckets.
+    """
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n, k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("sig"), b * rows + 1, rows), "|"
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )

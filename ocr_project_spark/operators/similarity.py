@@ -1,0 +1,90 @@
+"""Similarity search over embedding columns (array<float>).
+
+Added per the training-data-pipeline mandate.  Two tiers:
+
+  brute-force cosine top-k   exact baseline: broadcast the query
+                             vector(s), one pass, JVM-side dot product
+                             via F.aggregate/zip_with — no shuffle for
+                             a single query, one topK for k results.
+  LSH-bucketed ANN           random-hyperplane signatures -> bucket
+                             equi-join; at 100 TB only bucketed
+                             candidates are compared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    The query is a plan literal (broadcast by construction); ordering
+    ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature against fixed hyperplanes -> bit string."""
+    bits = [
+        F.when(dot_expr(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only vectors whose hyperplane signature
+    matches the query's bucket are scored.  The scale path — the scan
+    prunes to one bucket (a partition-pruned read when the table is
+    bucket-partitioned on the signature)."""
+    vec = F.col(vec_col).cast("array<double>")
+    sig = hyperplane_signature(vec, planes)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qsig_val = "".join(
+        "1" if sum(a * b for a, b in zip(query_vec, p)) >= 0 else "0" for p in planes
+    )
+    return (
+        df.select(F.col(id_col), vec.alias("v"), sig.alias("sig"))
+        .where(F.col("sig") == F.lit(qsig_val))
+        .select(F.col(id_col), cosine_expr(F.col("v"), q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,115 @@
+"""Local replica of the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01,
+compare row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(val):
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        if val != val:
+            return "NaN"
+        if val == int(val) and abs(val) < 1e15:
+            return str(int(val))
+        return f"{val:.4f}"
+    if isinstance(val, bool):
+        return str(int(val))
+    return str(val)
+
+
+def hash_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from ocr_project_spark.session import get_spark
+
+    spark = get_spark(app_name="compare_oracle", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in osql:
+            print(f"SKIP {name}: no oracle (rows={len(s_rows)})")
+            continue
+        try:
+            res = con.execute(osql[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: DUCKDB ERROR {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rows spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            hs, hd = hash_rows(s_cols, s_rows), hash_rows(d_cols, d_rows)
+            if hs != hd:
+                problems.append(f"hash {hs} != {hd}")
+                # show first differing rows for debugging
+                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                set_s = {tuple(canon(r[i]) for i in order_s) for r in s_rows}
+                set_d = {tuple(canon(r[i]) for i in order_d) for r in d_rows}
+                only_s = list(set_s - set_d)[:2]
+                only_d = list(set_d - set_s)[:2]
+                problems.append(f"spark-only={only_s} duck-only={only_d}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
