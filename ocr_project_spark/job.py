@@ -1,0 +1,107 @@
+"""spark-submit entrypoint for the extraction pipeline.
+
+North_rule clause: "run via spark-submit --py-files on a multi-executor
+cluster".  Packaging:
+
+    python tools/make_pyfiles.py                  # -> dist/ocr_project_spark.zip
+    spark-submit --py-files dist/ocr_project_spark.zip \
+        ocr_project_spark/job.py \
+        --input  /data/documents_spans \
+        --candidates /data/media_candidates \
+        --output /data/out --run-id run1 \
+        --buckets 256 --parallelism 512
+
+The module is import-safe (no side effects); ``main`` builds the
+session, runs the checkpointed extraction, prints a one-line JSON
+summary.  Re-invoking with the same --output/--run-id resumes from the
+committed watermarks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="ocr_project_spark extraction job")
+    p.add_argument("--input", required=True, help="documents_spans parquet path")
+    p.add_argument("--candidates", default=None, help="media_candidates parquet path")
+    p.add_argument("--output", required=True, help="output root (tables written under it)")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--bucket-batch-size", type=int, default=8)
+    p.add_argument("--parallelism", type=int, default=None,
+                   help="explicit repartition width; default 2x default parallelism")
+    p.add_argument("--chunk-mega-docs", action="store_true",
+                   help="split span arrays > threshold into chunks (intra-doc parallelism)")
+    p.add_argument("--mega-span-threshold", type=int, default=256)
+    p.add_argument("--master", default=None, help="override master (tests)")
+    p.add_argument("--no-checkpoint", action="store_true",
+                   help="single-pass run without watermark commits (benchmarking)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.extract import extract, extract_chunked
+    from ocr_project_spark.plans import checkpoint, metrics, partitioning
+    from ocr_project_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ocr-extract-{args.run_id}", master=args.master)
+    t0 = time.monotonic()
+    docs = spark.read.parquet(args.input)
+    cands = spark.read.parquet(args.candidates) if args.candidates else None
+    par = args.parallelism or 2 * spark.sparkContext.defaultParallelism
+    docs = partitioning.repartition_for_extract(
+        docs, par, threshold=args.mega_span_threshold
+    )
+
+    if args.no_checkpoint:
+        fn = extract_chunked if args.chunk_mega_docs else extract
+        out = fn(docs, cands)
+        observed_out, obs = metrics.observed(out)
+        observed_out.write.mode("overwrite").parquet(
+            f"{args.output}/{checkpoint.OUTPUT_TABLE}"
+        )
+        stats = dict(obs.get)
+    else:
+        out = checkpoint.run(
+            spark,
+            docs,
+            args.output,
+            args.run_id,
+            candidates=cands,
+            n_buckets=args.buckets,
+            bucket_batch_size=args.bucket_batch_size,
+        )
+        row = out.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.size(F.coalesce(F.col("spans"), F.array()))).alias("spans"),
+        ).collect()[0]
+        stats = {"docs": row["docs"], "spans": row["spans"]}
+
+    elapsed = time.monotonic() - t0
+    docs_n = int(stats.get("docs") or 0)
+    print(
+        json.dumps(
+            {
+                "run_id": args.run_id,
+                "docs": docs_n,
+                "spans": int(stats.get("spans") or 0),
+                "elapsed_sec": round(elapsed, 3),
+                "docs_per_sec": round(docs_n / elapsed, 2) if elapsed > 0 else None,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

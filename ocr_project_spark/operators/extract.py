@@ -93,9 +93,7 @@ def valid_documents(docs: DataFrame) -> DataFrame:
     return docs.where(F.col("doc_id").isNotNull())
 
 
-def extract(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
-    """Full pipeline: (doc_id, spans) [+ candidates] -> (doc_id, spans out)."""
-    docs = valid_documents(docs)
+def _with_fused_map(docs: DataFrame, candidates: DataFrame | None) -> DataFrame:
     if candidates is not None:
         fused = fuse_media_candidates(candidates)
         fused_map = fused.groupBy("doc_id").agg(
@@ -110,13 +108,51 @@ def extract(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
                 )
             ).alias("fused_map")
         )
-        docs = docs.join(fused_map, "doc_id", "left")
-    else:
-        docs = docs.withColumn(
-            "fused_map",
-            F.lit(None).cast("map<int,struct<t:string,c:double>>"),
-        )
+        return docs.join(fused_map, "doc_id", "left")
+    return docs.withColumn(
+        "fused_map",
+        F.lit(None).cast("map<int,struct<t:string,c:double>>"),
+    )
+
+
+def extract(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Full pipeline: (doc_id, spans) [+ candidates] -> (doc_id, spans out)."""
+    docs = _with_fused_map(valid_documents(docs), candidates)
     return docs.select(
         "doc_id",
         assemble_expr(F.col("spans"), F.col("fused_map")).alias("spans"),
     )
+
+
+def extract_chunked(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    max_spans_per_chunk: int = 256,
+) -> DataFrame:
+    """extract() with intra-document parallelism for mega-docs.
+
+    Salting (plans/partitioning.py) balances *which task* a giant row
+    lands on, but one 10^8-span document is still one task's work.
+    This path splits span arrays into offset-contiguous chunks (one row
+    each), runs the same assembly expression per chunk, and reassembles
+    per doc with the dense ``order`` recomputed across chunk boundaries
+    (SURVEY.md section 7.5 item 3).  Output is exactly extract()'s —
+    verified by tests/test_plans.py on the fixture corpus.
+
+    Cost: one extra shuffle (the reassembly groupBy). Use only when the
+    corpus has documents above the chunk threshold; the driver decides
+    (job.py --chunk-mega-docs).
+    """
+    from ocr_project_spark.plans.partitioning import (
+        chunk_documents,
+        reassemble_chunks,
+    )
+
+    chunks = chunk_documents(valid_documents(docs), max_spans_per_chunk)
+    chunks = _with_fused_map(chunks, candidates)
+    per_chunk = chunks.select(
+        "doc_id",
+        "chunk_id",
+        assemble_expr(F.col("spans"), F.col("fused_map")).alias("spans"),
+    )
+    return reassemble_chunks(per_chunk)

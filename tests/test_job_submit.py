@@ -1,0 +1,58 @@
+"""spark-submit --py-files packaging smoke test (north_rule packaging
+clause).  Runs the real job entrypoint as a subprocess against a tiny
+fixture corpus and checks the committed output + JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    sys.path.insert(0, ROOT)
+    from ocr_project_spark.sources.generate import write_corpus_parquet
+    from tools.make_pyfiles import build
+
+    doc_path, cand_path = write_corpus_parquet(str(tmp_path / "in"), n_docs=60)
+    zip_path = build(str(tmp_path / "pkg.zip"))
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be self-sufficient
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(ROOT, "ocr_project_spark", "job.py"),
+            "--input", doc_path,
+            "--candidates", cand_path,
+            "--output", out_dir,
+            "--run-id", "smoke",
+            "--buckets", "4",
+            "--bucket-batch-size", "2",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["docs"] == 60
+    assert summary["spans"] > 0
+    assert os.path.isdir(os.path.join(out_dir, "extracted"))
+    assert os.path.isdir(os.path.join(out_dir, "watermarks"))

@@ -1,0 +1,181 @@
+"""Physical-plan layer tests: bucketing, salting, mega-doc chunking,
+checkpoint/resume, metrics (plans/*, SURVEY.md section 7.3 items 5-7).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_project_spark import oracle
+from ocr_project_spark.operators.extract import extract, extract_chunked
+from ocr_project_spark.plans import checkpoint, metrics, partitioning
+
+
+def to_dict(df):
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in (r["spans"] or [])
+        ]
+        for r in df.collect()
+    }
+
+
+# ------------------------------------------------------------------ buckets
+def test_bucket_stable_and_in_range(spark):
+    df = spark.range(500).select(F.concat(F.lit("doc-"), "id").alias("doc_id"))
+    a = {r["doc_id"]: r["b"] for r in df.select("doc_id", partitioning.bucket_expr("doc_id", 16).alias("b")).collect()}
+    b = {r["doc_id"]: r["b"] for r in df.select("doc_id", partitioning.bucket_expr("doc_id", 16).alias("b")).collect()}
+    assert a == b
+    assert all(0 <= v < 16 for v in a.values())
+    # reasonable spread: no bucket gets more than 3x the mean
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert max(counts.values()) < 3 * (500 / 16)
+
+
+# ------------------------------------------------------------------ salting
+def _hot_mega_docs(spark, n_rows=64, n_spans=400):
+    span = F.struct(
+        F.lit("text").alias("kind"),
+        F.lit("w " * 20).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.col("i").cast("int").alias("offset"),
+    )
+    return (
+        spark.range(n_rows)
+        .select(F.lit("doc-hot").alias("doc_id"))
+        .withColumn(
+            "spans",
+            F.transform(F.sequence(F.lit(0), F.lit(n_spans - 1)), lambda i: F.struct(
+                F.lit("text").alias("kind"),
+                F.lit("w " * 20).alias("text"),
+                F.lit("").alias("media_ref"),
+                i.cast("int").alias("offset"),
+            )),
+        )
+    )
+
+
+def test_salting_spreads_hot_mega_key(spark):
+    docs = _hot_mega_docs(spark)
+    unsalted = docs.repartition(8, F.col("doc_id"))
+    salted = partitioning.repartition_for_extract(docs, 8, threshold=256)
+    r_un = metrics.skew_report(unsalted)
+    r_sa = metrics.skew_report(salted)
+    # all 64 clones of the hot mega-doc collapse to one partition unsalted
+    assert r_un["n_partitions"] == 1 or r_un["max_docs"] == 64
+    # salted: spread over several partitions, max well below total
+    assert r_sa["n_partitions"] >= 4
+    assert r_sa["max_docs"] <= 32
+
+
+def test_salting_leaves_normal_docs_unsplit(spark):
+    # below-threshold docs get salt 0: same doc_id -> same partition
+    span = F.transform(F.sequence(F.lit(0), F.lit(4)), lambda i: F.struct(
+        F.lit("text").alias("kind"), F.lit("x").alias("text"),
+        F.lit("").alias("media_ref"), i.cast("int").alias("offset")))
+    docs = (
+        spark.range(200)
+        .select(F.concat(F.lit("d"), (F.col("id") % 10)).alias("doc_id"))
+        .withColumn("spans", span)
+    )
+    parted = partitioning.repartition_for_extract(docs, 8, threshold=256)
+    per_key = (
+        parted.withColumn("pid", F.spark_partition_id())
+        .groupBy("doc_id")
+        .agg(F.countDistinct("pid").alias("nparts"))
+        .collect()
+    )
+    assert all(r["nparts"] == 1 for r in per_key)
+
+
+def test_salted_two_phase_count(spark):
+    df = spark.range(1000).select((F.col("id") % 7).cast("string").alias("k"))
+    got = {r["k"]: r["cnt"] for r in partitioning.salted_two_phase_count(df, "k").collect()}
+    import collections
+
+    exp = collections.Counter(str(i % 7) for i in range(1000))
+    assert got == dict(exp)
+
+
+# ------------------------------------------------------------------ chunking
+def test_chunked_extract_equals_plain(corpus_dfs):
+    docs_df, cands_df = corpus_dfs
+    plain = to_dict(extract(docs_df, cands_df))
+    chunked = to_dict(extract_chunked(docs_df, cands_df, max_spans_per_chunk=32))
+    assert chunked == plain
+
+
+def test_chunk_reassemble_roundtrip_no_candidates(corpus_dfs):
+    docs_df, _ = corpus_dfs
+    plain = to_dict(extract(docs_df))
+    chunked = to_dict(extract_chunked(docs_df, max_spans_per_chunk=7))
+    assert chunked == plain
+
+
+# ------------------------------------------------------------------ checkpoint
+def test_checkpoint_run_matches_direct(spark, corpus, corpus_dfs, tmp_path):
+    docs_df, cands_df = corpus_dfs
+    out = checkpoint.run(
+        spark, docs_df, str(tmp_path / "ck1"), "r1", candidates=cands_df,
+        n_buckets=8, bucket_batch_size=3,
+    )
+    docs, cands = corpus
+    expected = {
+        k: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in v]
+        for k, v in oracle.extract_corpus(docs, cands).items()
+    }
+    assert to_dict(out) == expected
+
+    wm = checkpoint.read_watermarks(spark, str(tmp_path / "ck1"))
+    assert wm.where(F.col("status") == "committed").select("bucket").distinct().count() == 8
+    met = checkpoint.read_metrics(spark, str(tmp_path / "ck1"))
+    assert met.count() == 8
+    assert met.where(F.col("elapsed_ms") < 0).count() == 0
+
+
+def test_checkpoint_resume_after_crash(spark, corpus, corpus_dfs, tmp_path):
+    docs_df, cands_df = corpus_dfs
+    ck = str(tmp_path / "ck2")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpoint.run(
+            spark, docs_df, ck, "r2", candidates=cands_df,
+            n_buckets=8, bucket_batch_size=2, fail_after_batches=2,
+        )
+    done_before = checkpoint.completed_buckets(spark, ck, "r2")
+    assert 0 < len(done_before) < 8
+
+    out = checkpoint.run(
+        spark, docs_df, ck, "r2", candidates=cands_df,
+        n_buckets=8, bucket_batch_size=2,
+    )
+    docs, cands = corpus
+    expected = {
+        k: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in v]
+        for k, v in oracle.extract_corpus(docs, cands).items()
+    }
+    got = to_dict(out)
+    assert got == expected  # no gaps
+    # no duplicate doc_ids in the committed table
+    raw = spark.read.parquet(f"{ck}/{checkpoint.OUTPUT_TABLE}")
+    assert raw.count() == raw.select("doc_id").distinct().count()
+    # resumed run did not re-commit finished buckets
+    wm = checkpoint.read_watermarks(spark, ck)
+    per_bucket = wm.groupBy("bucket").count().collect()
+    assert all(r["count"] == 1 for r in per_bucket)
+
+
+# ------------------------------------------------------------------ metrics
+def test_observed_counts(spark, corpus, corpus_dfs):
+    docs_df, cands_df = corpus_dfs
+    out, obs = metrics.observed(extract(docs_df, cands_df))
+    out.write.format("noop").mode("overwrite").save()
+    docs, cands = corpus
+    expected = oracle.extract_corpus(docs, cands)
+    vals = obs.get
+    assert vals["docs"] == len(expected)
+    assert vals["spans"] == sum(len(v) for v in expected.values())
+    assert vals["empty_docs"] == sum(1 for v in expected.values() if not v)
