@@ -825,6 +825,223 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 # --------------------------------------------------------------------
+# 29. XY-cut layout reading order (K8/K11 analog — operators/layout.py)
+#     Two-column fixture derived from documents: the recursive kernel's
+#     column-major output has a closed form the oracle can state.
+# --------------------------------------------------------------------
+def q_xy_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.layout import xy_cut_reading_order
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", (F.lit(4) + F.pmod(F.col("n_chars"), F.lit(5))).alias("nb")
+    )
+    blocks = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("block_id")
+    ).select(
+        "doc_id",
+        F.col("block_id").cast("int").alias("block_id"),
+        (F.pmod(F.col("block_id"), F.lit(2)) * 60.0).alias("x0"),
+        (F.floor(F.col("block_id") / 2) * 20.0).alias("y0"),
+        (F.pmod(F.col("block_id"), F.lit(2)) * 60.0 + 50.0).alias("x1"),
+        (F.floor(F.col("block_id") / 2) * 20.0 + 15.0).alias("y1"),
+    )
+    return xy_cut_reading_order(blocks)
+
+
+_SQL_XY_CUT = """
+WITH t AS (SELECT doc_id, 4 + n_chars % 5 AS nb FROM documents),
+b AS (SELECT doc_id, nb, unnest(generate_series(0, nb - 1)) AS block_id FROM t)
+SELECT doc_id, CAST(block_id AS int) AS block_id,
+       CAST(CASE WHEN block_id % 2 = 0 THEN block_id // 2
+                 ELSE (nb + 1) // 2 + block_id // 2 END AS int) AS reading_order
+FROM b
+"""
+
+
+# --------------------------------------------------------------------
+# 30-31. SimHash fingerprints + banded near-dup pairs (dedup tier 4)
+# --------------------------------------------------------------------
+def _simhash_bit_sql(b: int) -> str:
+    return (
+        "CASE WHEN coalesce(list_sum(list_transform(hs, h -> "
+        f"CASE WHEN substring(h, {b + 1}, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0 "
+        "THEN '1' ELSE '0' END"
+    )
+
+
+def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.simhash_signature(F.col("text")).alias("sig"))
+
+
+_SQL_SIMHASH_SIGS = """
+WITH t AS (SELECT doc_id, list_distinct({wd}) AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, x -> md5(x)) AS hs FROM t)
+SELECT doc_id, concat({bits}) AS sig FROM h
+""".format(
+    wd=_WORD_TOKS.format(c="text"),
+    bits=", ".join(_simhash_bit_sql(b) for b in range(16)),
+)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(T(spark, sf_dir, "documents"), bands=4, max_hamming=1)
+
+
+_SQL_SIMHASH_PAIRS = """
+WITH t AS (SELECT doc_id, list_distinct({wd}) AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, x -> md5(x)) AS hs FROM t),
+s AS (SELECT doc_id, concat({bits}) AS sig FROM h),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ({ham}) AS hamming
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= 1
+""".format(
+    wd=_WORD_TOKS.format(c="text"),
+    bits=", ".join(_simhash_bit_sql(b) for b in range(16)),
+    ham=" + ".join(
+        f"CASE WHEN substring(a.sig, {i + 1}, 1) <> substring(b.sig, {i + 1}, 1) "
+        "THEN 1 ELSE 0 END"
+        for i in range(16)
+    ),
+)
+
+
+# --------------------------------------------------------------------
+# 32. Embedding-cosine near-duplicate pairs (dedup tier 5)
+# --------------------------------------------------------------------
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = SIM.cosine_dup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.35)
+    return p.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+_SQL_EMB_NEAR_DUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.v, b.v)
+             / (sqrt(list_inner_product(a.v, a.v))
+                * sqrt(list_inner_product(b.v, b.v))), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.v, b.v)
+      / (sqrt(list_inner_product(a.v, a.v))
+         * sqrt(list_inner_product(b.v, b.v))) >= 0.35
+"""
+
+
+# --------------------------------------------------------------------
+# 33. Exact percentiles per group (C16 median analog at corpus scale)
+# --------------------------------------------------------------------
+def q_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    q = F.percentile(F.col("n_chars"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return d.groupBy("lang").agg(
+        F.round(F.element_at(q, 1), 4).alias("p50"),
+        F.round(F.element_at(q, 2), 4).alias("p90"),
+        F.round(F.element_at(q, 3), 4).alias("p99"),
+    )
+
+
+_SQL_LEN_PCT = """
+SELECT lang, round(q[1], 4) AS p50, round(q[2], 4) AS p90, round(q[3], 4) AS p99
+FROM (SELECT lang, quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS q
+      FROM documents GROUP BY lang) t
+"""
+
+
+# --------------------------------------------------------------------
+# 34. Bigram top-k (n-gram vocabulary analysis)
+# --------------------------------------------------------------------
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = TX.word_tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat(
+                F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+_SQL_BIGRAM = """
+WITH t AS (SELECT {wd} AS toks FROM documents),
+b AS (
+  SELECT unnest(list_transform(generate_series(0, len(toks) - 2),
+                i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, count(*) AS n FROM b GROUP BY 1
+ORDER BY n DESC, bigram LIMIT 20
+""".format(wd=_WORD_TOKS.format(c="text"))
+
+
+# --------------------------------------------------------------------
+# 35. Hourly rollup over events (tumbling-window batch analog of the
+#     streaming aggregation; Structured Streaming runs the same plan)
+# --------------------------------------------------------------------
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+_SQL_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# 36. The span-domain flagship on the synthetic interleaved corpus —
+#     the BASELINE.json contract pipeline itself, exploded flat so the
+#     driver can hash it.  No SQL oracle (the corpus generator is
+#     Python); pytest covers exact span-sequence equality vs oracle.py.
+# --------------------------------------------------------------------
+def q_span_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark import schema as SCH
+    from ocr_project_spark.operators.extract import extract
+    from ocr_project_spark.sources.generate import generate_corpus
+
+    docs, cands = generate_corpus(n_docs=120, base_seed=42)
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs],
+        SCH.DOCUMENTS_SPANS,
+    )
+    cands_df = spark.createDataFrame(
+        [
+            (c["doc_id"], c["offset"], c["engine"], c["text"], c["confidence"])
+            for c in cands
+        ],
+        SCH.MEDIA_CANDIDATES,
+    )
+    out = extract(docs_df, cands_df)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.order").alias("ord"),
+    )
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
@@ -856,6 +1073,14 @@ SPARK_QUERIES = {
     "boost_ladder": q_boost_ladder,
     "distinct_tokens": q_distinct_tokens,
     "topk_orders": q_topk_orders,
+    "xy_cut": q_xy_cut,
+    "simhash_sigs": q_simhash_sigs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "len_percentiles": q_len_percentiles,
+    "bigram_topk": q_bigram_topk,
+    "hourly_rollup": q_hourly_rollup,
+    "span_pipeline": q_span_pipeline,
 }
 
 ORACLE_SQL = {
@@ -887,4 +1112,13 @@ ORACLE_SQL = {
     "boost_ladder": _SQL_BOOST,
     "distinct_tokens": _SQL_DISTINCT_TOKENS,
     "topk_orders": _SQL_TOPK_ORDERS,
+    "xy_cut": _SQL_XY_CUT,
+    "simhash_sigs": _SQL_SIMHASH_SIGS,
+    "simhash_pairs": _SQL_SIMHASH_PAIRS,
+    "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+    "len_percentiles": _SQL_LEN_PCT,
+    "bigram_topk": _SQL_BIGRAM,
+    "hourly_rollup": _SQL_HOURLY,
+    # span_pipeline intentionally has no oracle: the synthetic corpus
+    # generator is Python-side; pytest enforces span-sequence equality.
 }

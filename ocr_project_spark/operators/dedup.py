@@ -144,3 +144,94 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash_signature(text: Column, bits: int = 16) -> Column:
+    """SimHash bit-string over the distinct word-token set.
+
+    Per bit b: each token votes +1/-1 by whether hex digit b of
+    md5(token) is >= '8' (== high nibble bit, portable to the DuckDB
+    oracle via plain string comparison); the bit is 1 iff the vote sum
+    is >= 0.  Near-identical token sets flip few votes, so Hamming
+    distance tracks set difference — the classic SimHash property.
+    """
+    toks = F.array_distinct(word_tokens(text))
+    hashes = F.transform(toks, lambda t: F.md5(t))
+
+    def vote_fn(b: int):
+        def fn(acc, h):
+            return acc + F.when(
+                F.substring(h, b + 1, 1) >= F.lit("8"), 1
+            ).otherwise(-1)
+
+        return fn
+
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), vote_fn(b))
+        bit_cols.append(F.when(votes >= 0, "1").otherwise("0"))
+    return F.concat(*bit_cols)
+
+
+def hamming_expr(a: Column, b: Column, bits: int = 16) -> Column:
+    terms = [
+        F.when(F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1).otherwise(0)
+        for i in range(bits)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation is banded (pigeonhole: with ``bands`` bands
+    and <= bands-1 differing bits, at least one band is identical), so
+    the join is a bucket equi-join on (band, band_bits) — the same
+    shape as MinHash-LSH and the only shape that survives at 100 TB.
+    The exact Hamming filter then removes band-collision false
+    positives; with max_hamming <= bands-1 the result equals the
+    brute-force all-pairs scan (the DuckDB oracle).
+    """
+    assert max_hamming <= bands - 1, "pigeonhole guarantee needs max_hamming < bands"
+    rows = bits // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash_signature(F.col(text_col), bits).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(F.col("sig"), b * rows + 1, rows).alias("bb"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("x"),
+    ).select("id", "sig", "x.band", "x.bb")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bb"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming_expr(F.col("a.sig"), F.col("b.sig"), bits).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -88,3 +88,31 @@ def ann_lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold).
+
+    Exact all-pairs formulation — the verification oracle tier.  At
+    100 TB scale the identical filter runs AFTER hyperplane-LSH bucket
+    candidate generation (compose hyperplane_signature + a bucket
+    equi-join exactly as dedup.simhash_pairs does); the brute-force
+    form here is what the small-SF driver check can hash-compare.
+    """
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
