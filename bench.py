@@ -60,10 +60,17 @@ def main() -> None:
 
     corpus_dir = bench_corpus_path()
 
+    # Per-core-scaled heap + parallel GC + fine input splits: the same
+    # runtime policy the scaling benchmark validated (BASELINE.md).
+    os.environ.setdefault("SPARK_DRIVER_MEM", f"{max(8, int(1.5 * cpus))}g")
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+            "spark.sql.files.maxPartitionBytes": "8m",
+        },
     )
 
     timings: dict[str, float] = {}
@@ -96,6 +103,23 @@ def main() -> None:
     timings["extract_pipeline"] = round(dt, 3)
     docs_per_sec = round(N_BENCH_DOCS / dt, 1)
 
+    # same pipeline over bucketed-by-doc_id tables: zero-Exchange plan
+    # (sources/bucketed.py) — the production storage layout.
+    from ocr_project_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    bkt_root = f"{corpus_dir}/bucketed"
+    if not os.path.exists(f"{bkt_root}/_DONE"):
+        write_bucketed(spark, docs, cands, bkt_root, n_buckets=2 * cpus)
+        open(f"{bkt_root}/_DONE", "w").write("ok")
+    docs_b, cands_b = read_bucketed(spark, bkt_root, n_buckets=2 * cpus)
+    dtb = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _noop_sink(extract(docs_b, cands_b))
+        dtb = min(dtb, time.perf_counter() - t0)
+    timings["extract_pipeline_bucketed"] = round(dtb, 3)
+    docs_per_sec_bucketed = round(N_BENCH_DOCS / dtb, 1)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -106,6 +130,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "extraction_docs_per_sec": docs_per_sec,
+                "extraction_docs_per_sec_bucketed": docs_per_sec_bucketed,
                 "extraction_docs": N_BENCH_DOCS,
                 "cpus": cpus,
             }

@@ -27,7 +27,8 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="ocr_project_spark extraction job")
-    p.add_argument("--input", required=True, help="documents_spans parquet path")
+    p.add_argument("--input", default=None,
+                   help="documents_spans parquet path (or use --bucketed-location)")
     p.add_argument("--candidates", default=None, help="media_candidates parquet path")
     p.add_argument("--output", required=True, help="output root (tables written under it)")
     p.add_argument("--run-id", required=True)
@@ -41,11 +42,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--master", default=None, help="override master (tests)")
     p.add_argument("--no-checkpoint", action="store_true",
                    help="single-pass run without watermark commits (benchmarking)")
+    p.add_argument("--bucketed-location", default=None,
+                   help="read input from bucketed tables at this root "
+                        "(sources/bucketed.py; zero-Exchange plan) instead of "
+                        "--input/--candidates parquet paths")
+    p.add_argument("--bucketed-n", type=int, default=64,
+                   help="bucket count of the bucketed tables")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if not args.input and not args.bucketed_location:
+        build_parser().error("one of --input / --bucketed-location is required")
 
     from pyspark.sql import functions as F
 
@@ -55,12 +64,23 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"ocr-extract-{args.run_id}", master=args.master)
     t0 = time.monotonic()
-    docs = spark.read.parquet(args.input)
-    cands = spark.read.parquet(args.candidates) if args.candidates else None
-    par = args.parallelism or 2 * spark.sparkContext.defaultParallelism
-    docs = partitioning.repartition_for_extract(
-        docs, par, threshold=args.mega_span_threshold
-    )
+    if args.bucketed_location:
+        # Bucketed storage IS the partitioning (hash(doc_id) at write
+        # time): no runtime repartition, no exchanges anywhere.
+        from ocr_project_spark.sources.bucketed import read_bucketed
+
+        docs, cands = read_bucketed(
+            spark, args.bucketed_location, n_buckets=args.bucketed_n
+        )
+        if not args.candidates:
+            cands = None
+    else:
+        docs = spark.read.parquet(args.input)
+        cands = spark.read.parquet(args.candidates) if args.candidates else None
+        par = args.parallelism or 2 * spark.sparkContext.defaultParallelism
+        docs = partitioning.repartition_for_extract(
+            docs, par, threshold=args.mega_span_threshold
+        )
 
     if args.no_checkpoint:
         fn = extract_chunked if args.chunk_mega_docs else extract
