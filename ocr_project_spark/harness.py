@@ -32,6 +32,39 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_PYFILES_ADDED: set[int] = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the package zip to executors (addPyFile) so queries whose
+    kernels run in Python workers (applyInPandas / mapInPandas) import
+    ocr_project_spark regardless of the driver's cwd/PYTHONPATH — the
+    in-session equivalent of spark-submit --py-files."""
+    key = id(spark.sparkContext)
+    if key in _PYFILES_ADDED:
+        return
+    import os
+    import sys
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join("/tmp", "ocr_project_spark_pyfiles.zip")
+    if not os.path.exists(out):
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+            for dirpath, dirnames, filenames in os.walk(pkg_dir):
+                dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+                for fn in sorted(filenames):
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.join(
+                            "ocr_project_spark",
+                            os.path.relpath(full, pkg_dir),
+                        )
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(out)
+    _PYFILES_ADDED.add(key)
+
+
 # --------------------------------------------------------------------
 # DuckDB SQL fragments reused across oracles
 # --------------------------------------------------------------------
@@ -832,6 +865,8 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 def q_xy_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.operators.layout import xy_cut_reading_order
 
+    _ensure_pyfiles(spark)
+
     d = T(spark, sf_dir, "documents").select(
         "doc_id", (F.lit(4) + F.pmod(F.col("n_chars"), F.lit(5))).alias("nb")
     )
@@ -1042,6 +1077,62 @@ def q_span_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# 37. Salted two-phase aggregate == plain aggregate (skew policy proof
+#     in the driver gate; plans/partitioning.py)
+# --------------------------------------------------------------------
+def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.plans.partitioning import salted_two_phase_count
+
+    ev = T(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("k"))
+    return salted_two_phase_count(ev, "k")
+
+
+_SQL_SALTED_COUNTS = """
+SELECT CAST(user_id AS varchar) AS k, count(*) AS cnt FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# 38. ROLLUP grouping sets (beyond-reference relational coverage)
+# --------------------------------------------------------------------
+def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_SQL_ORDER_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------
+# 39. Multimodal decode plumbing over derived binary payloads
+#     (operators/media.py; rows-only — the fake-decode kernel is
+#     Python-side, pytest covers its determinism and error capture)
+# --------------------------------------------------------------------
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.media import decode_media
+
+    _ensure_pyfiles(spark)
+
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = d.select(
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+    return decode_media(media)
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
@@ -1081,6 +1172,9 @@ SPARK_QUERIES = {
     "bigram_topk": q_bigram_topk,
     "hourly_rollup": q_hourly_rollup,
     "span_pipeline": q_span_pipeline,
+    "salted_counts": q_salted_counts,
+    "order_rollup": q_order_rollup,
+    "media_decode": q_media_decode,
 }
 
 ORACLE_SQL = {
@@ -1119,6 +1213,9 @@ ORACLE_SQL = {
     "len_percentiles": _SQL_LEN_PCT,
     "bigram_topk": _SQL_BIGRAM,
     "hourly_rollup": _SQL_HOURLY,
-    # span_pipeline intentionally has no oracle: the synthetic corpus
-    # generator is Python-side; pytest enforces span-sequence equality.
+    "salted_counts": _SQL_SALTED_COUNTS,
+    "order_rollup": _SQL_ORDER_ROLLUP,
+    # span_pipeline and media_decode intentionally have no oracle: their
+    # kernels (synthetic corpus generator / fake decode) are Python-side;
+    # pytest enforces span-sequence equality and decode determinism.
 }

@@ -1,0 +1,102 @@
+"""Property-based invariants (SURVEY.md section 5 item 3):
+
+* rules.py (the oracle's classification) and functions/classify.py (the
+  Spark expressions) agree on arbitrary text — the two implementations
+  cannot drift (section 7.5 item 5).
+* extraction is invariant to storage permutation of the span array and
+  to the partition count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ocr_project_spark import rules
+from ocr_project_spark.functions.classify import (
+    is_content_expr,
+    link_density_expr,
+    n_tokens_expr,
+)
+from ocr_project_spark.operators.extract import extract
+
+token = st.one_of(
+    st.sampled_from(["the", "data", "<a>", "nav", "a", "x" * 12, "café", "1", ""]),
+    st.text(alphabet="ab <>\t\n©", max_size=8),
+)
+texts = st.lists(token, max_size=30).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=40))
+def test_rules_match_spark_exprs(spark_batch_texts):
+    # collect one Spark evaluation per hypothesis batch
+    from ocr_project_spark.session import get_spark
+
+    s = get_spark(master="local[2]", shuffle_partitions=2)
+    df = s.createDataFrame([(t,) for t in spark_batch_texts], "text string")
+    got = df.select(
+        n_tokens_expr(F.col("text")).alias("n"),
+        F.round(link_density_expr(F.col("text")), 9).alias("ld"),
+        is_content_expr(F.col("text")).alias("c"),
+    ).collect()
+    for t, r in zip(spark_batch_texts, got):
+        assert r["n"] == rules.n_tokens(t), t
+        assert abs(r["ld"] - rules.link_density(t)) < 1e-9, t
+        assert r["c"] == rules.is_content(t), t
+
+
+def _extract_dict(docs_df, cands_df):
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in (r["spans"] or [])
+        ]
+        for r in extract(docs_df, cands_df).collect()
+    }
+
+
+def test_extract_invariant_to_storage_permutation(spark, corpus, corpus_dfs):
+    docs_df, cands_df = corpus_dfs
+    base = _extract_dict(docs_df, cands_df)
+
+    # re-shuffle every span array with a different permutation than the
+    # generator used (deterministic but distinct seed)
+    rng = np.random.default_rng(777)
+    docs, _ = corpus
+    reshuffled = []
+    tied_docs = set()
+    for d in docs:
+        spans = list(d["spans"])
+        offsets = [s["offset"] for s in spans]
+        if len(offsets) != len(set(offsets)):
+            # duplicate-offset docs resolve ties by STORAGE order (the
+            # documented stable-sort choice) — permutation sensitivity
+            # is their specified behavior, so keep them unpermuted.
+            tied_docs.add(d["doc_id"])
+            reshuffled.append(d)
+            continue
+        order = rng.permutation(len(spans)) if spans else []
+        reshuffled.append(
+            dict(doc_id=d["doc_id"], spans=[spans[int(j)] for j in order])
+        )
+    assert tied_docs  # the fixture must exercise the tie case
+    from ocr_project_spark import schema
+
+    df2 = spark.createDataFrame(
+        [
+            (d["doc_id"], [tuple(s.values()) for s in d["spans"]])
+            for d in reshuffled
+        ],
+        schema.DOCUMENTS_SPANS,
+    )
+    assert _extract_dict(df2, cands_df) == base
+
+
+def test_extract_invariant_to_partition_count(spark, corpus_dfs):
+    docs_df, cands_df = corpus_dfs
+    a = _extract_dict(docs_df.repartition(1), cands_df.repartition(1))
+    b = _extract_dict(docs_df.repartition(16), cands_df.repartition(16))
+    assert a == b
