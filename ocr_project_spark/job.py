@@ -99,6 +99,9 @@ def main(argv: list[str] | None = None) -> int:
             candidates=cands,
             n_buckets=args.buckets,
             bucket_batch_size=args.bucket_batch_size,
+            chunk_mega_docs=(
+                args.mega_span_threshold if args.chunk_mega_docs else None
+            ),
         )
         row = out.agg(
             F.count(F.lit(1)).alias("docs"),

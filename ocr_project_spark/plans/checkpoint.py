@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_project_spark import schema
-from ocr_project_spark.operators.extract import extract
+from ocr_project_spark.operators.extract import extract, extract_chunked
 from ocr_project_spark.plans.partitioning import with_bucket
 
 WATERMARK_TABLE = "watermarks"
@@ -76,6 +76,7 @@ def run(
     n_buckets: int = 16,
     bucket_batch_size: int = 4,
     fail_after_batches: int | None = None,
+    chunk_mega_docs: int | None = None,
 ) -> DataFrame:
     """Execute (or resume) a checkpointed extraction run.
 
@@ -114,7 +115,13 @@ def run(
             if cand_b is not None
             else None
         )
-        out = extract(batch_docs.drop("bucket"), batch_cands)
+        if chunk_mega_docs:
+            out = extract_chunked(
+                batch_docs.drop("bucket"), batch_cands,
+                max_spans_per_chunk=chunk_mega_docs,
+            )
+        else:
+            out = extract(batch_docs.drop("bucket"), batch_cands)
         out = with_bucket(out, n_buckets)
 
         # Per-bucket lineage/metrics in the same pass as the write: one

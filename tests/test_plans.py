@@ -179,3 +179,17 @@ def test_observed_counts(spark, corpus, corpus_dfs):
     assert vals["docs"] == len(expected)
     assert vals["spans"] == sum(len(v) for v in expected.values())
     assert vals["empty_docs"] == sum(1 for v in expected.values() if not v)
+
+
+def test_checkpoint_chunked_matches(spark, corpus, corpus_dfs, tmp_path):
+    docs_df, cands_df = corpus_dfs
+    out = checkpoint.run(
+        spark, docs_df, str(tmp_path / "ck3"), "r3", candidates=cands_df,
+        n_buckets=4, bucket_batch_size=2, chunk_mega_docs=48,
+    )
+    docs, cands = corpus
+    expected = {
+        k: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in v]
+        for k, v in oracle.extract_corpus(docs, cands).items()
+    }
+    assert to_dict(out) == expected
