@@ -1,0 +1,50 @@
+"""Text normalization — the K4-K6 enhancement-stage analog.
+
+The reference's enhancement ladder (minimal bilateral filter -> balanced
+CLAHE -> enhanced NL-means, /root/reference/src/advanced_ocr/
+preprocessing/image_enhancer.py:121-295) normalizes pixels before
+recognition; the span-domain analog normalizes text before
+classification.  Tiers mirror the strategy ladder (K3):
+
+  minimal   whitespace collapse + trim
+  balanced  minimal + control-char strip + newline-run collapse
+            (the reference's own \\n{3,}->\\n\\n rule,
+            engines/paddleocr.py:396-398)
+  enhanced  balanced + strip replacement/zero-width chars + lowercase
+            duplicate-punctuation squeeze
+
+All pure `regexp_replace` column expressions — codegen'd, no Python,
+trivially pushed through the pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_minimal(text: Column) -> Column:
+    return F.trim(F.regexp_replace(text, r"[ \t]+", " "))
+
+
+def normalize_balanced(text: Column) -> Column:
+    t = F.regexp_replace(text, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")   # C3, paddleocr.py:396-398
+    return normalize_minimal(t)
+
+
+def normalize_enhanced(text: Column) -> Column:
+    t = F.regexp_replace(text, r"[�​‌‍﻿]", "")
+    t = F.regexp_replace(t, r"([!?.,;:])\1{2,}", "$1$1")
+    return normalize_balanced(t)
+
+
+def normalize_for_strategy(text: Column, strategy: Column) -> Column:
+    """Route each row through the tier its quality strategy selected —
+    the per-row analog of the reference's strategy dispatch
+    (pipeline.py:183-200)."""
+    return (
+        F.when(strategy == F.lit("minimal"), normalize_minimal(text))
+        .when(strategy == F.lit("balanced"), normalize_balanced(text))
+        .otherwise(normalize_enhanced(text))
+    )

@@ -1133,6 +1133,63 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# 40. Normalization ladder (K4-K6 enhancement analog) over derived
+#     dirty text — all three tiers as columns, pure regexp codegen.
+# --------------------------------------------------------------------
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.functions.cleanup import (
+        normalize_balanced,
+        normalize_enhanced,
+        normalize_minimal,
+    )
+
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit("  tail\t\tpart "),
+        F.lit("\n\n\n\n"),
+        F.lit("end!!!!"),
+        F.lit(""),
+        F.lit("​"),
+        F.lit("ok"),
+    )
+    return d.select(
+        "doc_id",
+        normalize_minimal(dirty).alias("n_min"),
+        normalize_balanced(dirty).alias("n_bal"),
+        normalize_enhanced(dirty).alias("n_enh"),
+    )
+
+
+_SQL_NORMALIZE = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || '  tail' || chr(9) || chr(9) || 'part ' ||
+         repeat(chr(10), 4) || 'end!!!!' || chr(7) || chr(8203) || 'ok' AS dirty
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+  trim(regexp_replace(dirty, '[ \t]+', ' ', 'g')) AS n_min,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(dirty, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g'),
+    '[ \t]+', ' ', 'g')) AS n_bal,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(dirty, '[' || chr(65533) || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),
+            '!{3,}', '!!', 'g'), '\?{3,}', '??', 'g'), '\.{3,}', '..', 'g'),
+            ',{3,}', ',,', 'g'), ';{3,}', ';;', 'g'), ':{3,}', '::', 'g'),
+        '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g'),
+    '[ \t]+', ' ', 'g')) AS n_enh
+FROM t
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
@@ -1172,6 +1229,7 @@ SPARK_QUERIES = {
     "bigram_topk": q_bigram_topk,
     "hourly_rollup": q_hourly_rollup,
     "span_pipeline": q_span_pipeline,
+    "normalize_text": q_normalize_text,
     "salted_counts": q_salted_counts,
     "order_rollup": q_order_rollup,
     "media_decode": q_media_decode,
@@ -1213,6 +1271,7 @@ ORACLE_SQL = {
     "len_percentiles": _SQL_LEN_PCT,
     "bigram_topk": _SQL_BIGRAM,
     "hourly_rollup": _SQL_HOURLY,
+    "normalize_text": _SQL_NORMALIZE,
     "salted_counts": _SQL_SALTED_COUNTS,
     "order_rollup": _SQL_ORDER_ROLLUP,
     # span_pipeline and media_decode intentionally have no oracle: their
