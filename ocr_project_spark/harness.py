@@ -1190,6 +1190,71 @@ FROM t
 
 
 # --------------------------------------------------------------------
+# 41. As-of join (union-and-fill, one shuffle — operators/asof.py)
+#     clicks matched to each user's most recent prior purchase;
+#     DuckDB's native ASOF JOIN is the oracle.
+# --------------------------------------------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id",
+                    right_cols=["purchase_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.round("purchase_value_r", 4).alias("last_purchase_value"),
+    )
+
+
+_SQL_ASOF = """
+SELECT c.event_id, c.user_id,
+       round(p.value, 4) AS last_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# --------------------------------------------------------------------
+# 42. Interval (range) join via bucket equi-join (operators/asof.py)
+# --------------------------------------------------------------------
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.asof import interval_join
+
+    ev = T(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    hours = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+        .where(F.pmod(F.unix_timestamp("h") / 3600, F.lit(3)).cast("int") == 0)
+    )
+    ranges = hours.select(
+        F.col("h").alias("wstart"),
+        F.timestamp_seconds(F.unix_timestamp("h") + 7200).alias("wend"),
+    )
+    out = interval_join(ev.select("event_id", "ts"), ranges,
+                        ts_col="ts", start_col="wstart", end_col="wend")
+    return out.select("event_id", "wstart")
+
+
+_SQL_INTERVAL = """
+WITH r AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+  WHERE (CAST(epoch(date_trunc('hour', ts)) AS bigint) / 3600) % 3 = 0
+), rr AS (
+  SELECT h AS wstart, h + INTERVAL 2 HOUR AS wend FROM r
+)
+SELECT e.event_id, rr.wstart
+FROM events e JOIN rr ON rr.wstart <= e.ts AND e.ts < rr.wend
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
@@ -1229,6 +1294,8 @@ SPARK_QUERIES = {
     "bigram_topk": q_bigram_topk,
     "hourly_rollup": q_hourly_rollup,
     "span_pipeline": q_span_pipeline,
+    "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "normalize_text": q_normalize_text,
     "salted_counts": q_salted_counts,
     "order_rollup": q_order_rollup,
@@ -1271,6 +1338,8 @@ ORACLE_SQL = {
     "len_percentiles": _SQL_LEN_PCT,
     "bigram_topk": _SQL_BIGRAM,
     "hourly_rollup": _SQL_HOURLY,
+    "asof_join": _SQL_ASOF,
+    "interval_join": _SQL_INTERVAL,
     "normalize_text": _SQL_NORMALIZE,
     "salted_counts": _SQL_SALTED_COUNTS,
     "order_rollup": _SQL_ORDER_ROLLUP,

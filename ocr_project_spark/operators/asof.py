@@ -1,0 +1,97 @@
+"""As-of and interval (range) joins — operators Spark lacks natively,
+composed from existing DataFrame primitives (the task-mandated tier (a)
+strategy: composition before pandas UDFs).
+
+``asof_join`` — for each left row, the most recent right row with
+``right.ts <= left.ts`` per key.  NOT implemented as a theta join
+(``r.ts <= l.ts`` + window = O(n^2) candidates); instead the classic
+scalable union-and-fill:
+
+    union both sides tagged -> window last_value(right cols) over
+    (key ORDER BY ts, side) ignoring nulls -> keep left rows
+
+One hash-partition shuffle on key, linear work per partition — the
+same shape Flink's temporal join and kdb's aj use.  Right-side rows
+tag 0 so a right row at exactly left.ts is visible (<= semantics,
+matching DuckDB's ASOF JOIN oracle).
+
+``interval_join`` — left rows matched to ranges [start, end) they fall
+into.  A raw range predicate would be a broadcast-nested-loop; instead
+both sides explode to fixed-width time buckets and equi-join on
+(key?, bucket), then the exact range predicate filters bucket-collision
+false positives.  Candidate count is bounded by range_len/bucket per
+range — the standard scale trick for interval joins (and what AQE
+cannot do for you: the join SHAPE must be an equi-join to shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: latest right row with right.on <= left.on
+    (per ``by`` key if given).  Returns all left columns plus
+    ``<right_col><suffix>`` for each requested right column (null when
+    no prior right row exists)."""
+    rcols = right_cols or [c for c in right.columns if c not in {on, by}]
+    keys = [by] if by else []
+
+    l_tag = left.withColumn("_side", F.lit(1))
+    for c in rcols:
+        l_tag = l_tag.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    r_tag = right.select(
+        *keys, on, *[F.col(c).alias(f"{c}{suffix}") for c in rcols]
+    ).withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in set(keys + [on]):
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy(on, "_side").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = unioned.select(
+        *left.columns,
+        "_side",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in rcols
+        ],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def interval_join(
+    left: DataFrame,
+    ranges: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Equi-join-shaped interval join: left rows x ranges with
+    start <= ts < end.  Ranges explode to the buckets they overlap;
+    rows join on their single bucket; the exact predicate filters."""
+    ts_b = (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+    start_b = (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long")
+    # end is exclusive: a range ending exactly on a bucket boundary
+    # does not overlap that bucket
+    end_b = ((F.unix_timestamp(F.col(end_col)) - 1) / bucket_seconds).cast("long")
+
+    l = left.withColumn("_bucket", ts_b)
+    r = ranges.withColumn(
+        "_bucket", F.explode(F.sequence(start_b, end_b))
+    )
+    joined = l.join(r, "_bucket")
+    return joined.where(
+        (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))
+    ).drop("_bucket")

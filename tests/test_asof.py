@@ -1,0 +1,82 @@
+"""As-of and interval join semantics (operators/asof.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ocr_project_spark.operators.asof import asof_join, interval_join
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", ts("2024-01-01T10:00:00")),
+         (2, "u1", ts("2024-01-01T10:05:00")),
+         (3, "u1", ts("2024-01-01T09:00:00")),   # before any right row
+         (4, "u2", ts("2024-01-01T10:00:00"))],  # other key
+        "id long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", ts("2024-01-01T09:30:00"), 1.0),
+         ("u1", ts("2024-01-01T10:00:00"), 2.0),   # equal ts -> visible (<=)
+         ("u1", ts("2024-01-01T10:04:00"), 3.0),
+         ("u2", ts("2024-01-01T09:59:00"), 9.0)],
+        "user string, ts timestamp, px double",
+    )
+    out = {
+        r["id"]: r["px_r"]
+        for r in asof_join(left, right, on="ts", by="user", right_cols=["px"]).collect()
+    }
+    assert out == {1: 2.0, 2: 3.0, 3: None, 4: 9.0}
+
+
+def test_asof_no_key(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"))], "id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(ts("2024-01-01T09:00:00"), 5.0)], "ts timestamp, px double"
+    )
+    rows = asof_join(left, right, on="ts", right_cols=["px"]).collect()
+    assert rows[0]["px_r"] == 5.0
+
+
+def test_interval_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00")),    # == start -> in
+         (2, ts("2024-01-01T11:59:59")),    # just inside
+         (3, ts("2024-01-01T12:00:00")),    # == end (exclusive) -> out
+         (4, ts("2024-01-01T09:59:59"))],   # before start -> out
+        "id long, ts timestamp",
+    )
+    ranges = spark.createDataFrame(
+        [(ts("2024-01-01T10:00:00"), ts("2024-01-01T12:00:00"), "w1")],
+        "wstart timestamp, wend timestamp, name string",
+    )
+    got = sorted(
+        r["id"]
+        for r in interval_join(left, ranges, ts_col="ts",
+                               start_col="wstart", end_col="wend").collect()
+    )
+    assert got == [1, 2]
+
+
+def test_interval_join_plan_is_equi(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:30:00"))], "id long, ts timestamp"
+    )
+    ranges = spark.createDataFrame(
+        [(ts("2024-01-01T10:00:00"), ts("2024-01-01T12:00:00"), "w1")],
+        "wstart timestamp, wend timestamp, name string",
+    )
+    plan = (
+        interval_join(left, ranges, ts_col="ts", start_col="wstart", end_col="wend")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
