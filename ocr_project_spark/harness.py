@@ -1255,6 +1255,19 @@ FROM events e JOIN rr ON rr.wstart <= e.ts AND e.ts < rr.wend
 
 
 # --------------------------------------------------------------------
+# 43. IVF ANN probe (coarse k-means quantizer -> partition-pruned
+#     refine; operators/similarity.py).  Rows-only: k-means is not
+#     SQL-expressible; pytest checks determinism + recall vs brute force.
+# --------------------------------------------------------------------
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, centroids = SIM.ivf_build(emb.where(F.col("vec_id") != 0), n_centroids=8)
+    res = SIM.ivf_topk(assigned, centroids, qvec, k=5, n_probe=4)
+    return res.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
@@ -1294,6 +1307,7 @@ SPARK_QUERIES = {
     "bigram_topk": q_bigram_topk,
     "hourly_rollup": q_hourly_rollup,
     "span_pipeline": q_span_pipeline,
+    "ivf_topk": q_ivf_topk,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "normalize_text": q_normalize_text,

@@ -116,3 +116,67 @@ def cosine_dup_pairs(
         )
         .where(F.col("cosine") >= F.lit(threshold))
     )
+
+
+# ---------------------------------------------------------------- IVF
+def ivf_build(
+    df: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids (Spark ML, fixed seed)
+    + cluster assignment per vector.
+
+    Scale path: persist the assigned table partitioned by ``cluster``
+    (or bucket the Iceberg table on it) so a probe reads only the
+    n_probe nearest partitions — partition pruning does the candidate
+    selection, the refine step is a small exact top-k.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec_df = df.withColumn(
+        "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_v").fit(vec_df)
+    assigned = model.transform(vec_df).select(
+        id_col, F.col(vec_col), F.col("prediction").alias("cluster")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe centroids nearest to the query (driver-side
+    math over n_centroids values — metadata scale), then exact cosine
+    top-k over only those clusters' vectors."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        da = sum(x * x for x in a) ** 0.5
+        db = sum(y * y for y in b) ** 0.5
+        return num / (da * db) if da > 0 and db > 0 else 0.0
+
+    probes = sorted(
+        range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i])
+    )[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.where(F.col("cluster").isin([int(p) for p in probes]))
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
