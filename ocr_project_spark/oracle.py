@@ -78,7 +78,9 @@ def fuse_candidates(cands: list[dict]) -> dict | None:
     )
 
 
-def extract_document(doc: dict, cands_by_key: dict | None = None) -> dict:
+def extract_document(
+    doc: dict, cands_by_key: dict | None = None, normalize: str | None = None
+) -> dict:
     """Extract one document -> {doc_id, spans: [(kind,text,media_ref,order)]}.
 
     Pipeline: stable-sort spans by (offset, storage index) -> resolve
@@ -98,20 +100,23 @@ def extract_document(doc: dict, cands_by_key: dict | None = None) -> dict:
         else:
             if rules.is_content(s["text"]):
                 out.append(dict(kind="text", text=s["text"], media_ref=s["media_ref"]))
+    norm = rules.NORMALIZERS[normalize] if normalize else (lambda t: t)
     return dict(
         doc_id=doc["doc_id"],
         spans=[
-            dict(kind=s["kind"], text=s["text"], media_ref=s["media_ref"], order=i)
+            dict(kind=s["kind"], text=norm(s["text"]), media_ref=s["media_ref"], order=i)
             for i, s in enumerate(out)
         ],
     )
 
 
-def extract_corpus(docs: list[dict], cands: list[dict]) -> dict[str, list[dict]]:
+def extract_corpus(
+    docs: list[dict], cands: list[dict], normalize: str | None = None
+) -> dict[str, list[dict]]:
     """Extract every document -> {doc_id: [out spans]}."""
     by_key: dict = defaultdict(list)
     for c in cands:
         by_key[(c["doc_id"], c["offset"])].append(c)
     return {
-        d["doc_id"]: extract_document(d, by_key)["spans"] for d in docs
+        d["doc_id"]: extract_document(d, by_key, normalize)["spans"] for d in docs
     }

@@ -1,0 +1,60 @@
+"""Composed end-to-end pipeline builder — the §3 lifecycle of SURVEY.md
+as one function: validate -> classify/strip -> fuse -> assemble
+[-> normalize].
+
+Mirrors the reference's orchestration
+(/root/reference/src/advanced_ocr/pipeline.py:63-96) with the
+enhancement stage (K4-K6, image_enhancer.py:121-295) transposed to the
+span domain: the normalization tier cleans the OUTPUT text of every
+kept span (whitespace collapse, control-char strip, newline-run
+collapse, zero-width/punctuation squeeze per tier) — applied after
+classification so the boilerplate decision is taken on raw input,
+matching oracle.extract_corpus(..., normalize=tier).
+
+All stages remain pure codegen'd column expressions; composing the
+normalizer adds zero shuffles and zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_project_spark.functions import cleanup
+from ocr_project_spark.operators.extract import extract
+
+_TIERS = {
+    "minimal": cleanup.normalize_minimal,
+    "balanced": cleanup.normalize_balanced,
+    "enhanced": cleanup.normalize_enhanced,
+}
+
+
+def _normalize_spans(spans: Column, tier: str) -> Column:
+    fn = _TIERS[tier]
+    return F.transform(
+        spans,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            fn(s["text"]).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["order"].alias("order"),
+        ),
+    )
+
+
+def run_pipeline(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    normalize: str | None = None,
+) -> DataFrame:
+    """Full composed pipeline.  ``normalize`` in {None, 'minimal',
+    'balanced', 'enhanced'} selects the K4-K6 output-cleanup tier."""
+    out = extract(docs, candidates)
+    if normalize is None:
+        return out
+    if normalize not in _TIERS:
+        raise ValueError(f"unknown normalize tier: {normalize!r}")
+    return out.select(
+        "doc_id", _normalize_spans(F.col("spans"), normalize).alias("spans")
+    )

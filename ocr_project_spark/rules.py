@@ -72,3 +72,36 @@ def jaccard_words(a: str | None, b: str | None) -> float:
     if not w1 or not w2:
         return 1.0 if a.strip() == b.strip() else 0.0
     return len(w1 & w2) / len(w1 | w2)
+
+
+# --- K4-K6 normalization ladder (python mirror of functions/cleanup.py) ---
+import re as _re
+
+_WS = _re.compile(r"[ \t]+")
+_CTRL = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+_NL_RUN = _re.compile(r"\n{3,}")
+_ZERO_WIDTH = _re.compile("[�​‌‍﻿]")
+_PUNCT_RUN = _re.compile(r"([!?.,;:])\1{2,}")
+
+
+def normalize_minimal(text: str | None) -> str:
+    return _WS.sub(" ", text or "").strip()
+
+
+def normalize_balanced(text: str | None) -> str:
+    t = _CTRL.sub("", text or "")
+    t = _NL_RUN.sub("\n\n", t)
+    return normalize_minimal(t)
+
+
+def normalize_enhanced(text: str | None) -> str:
+    t = _ZERO_WIDTH.sub("", text or "")
+    t = _PUNCT_RUN.sub(r"\1\1", t)
+    return normalize_balanced(t)
+
+
+NORMALIZERS = {
+    "minimal": normalize_minimal,
+    "balanced": normalize_balanced,
+    "enhanced": normalize_enhanced,
+}

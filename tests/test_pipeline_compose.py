@@ -1,0 +1,77 @@
+"""Composed pipeline with the K4-K6 normalization stage: span-sequence
+equality against the extended oracle on a dirtied corpus
+(ocr_project_spark/pipeline.py vs oracle.extract_corpus(normalize=...)).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_project_spark import oracle, schema
+from ocr_project_spark.pipeline import run_pipeline
+from ocr_project_spark.sources.generate import generate_corpus
+
+DIRT = "  tail\t\tpart \n\n\n\nend!!!!\x07​ok"
+
+
+@pytest.fixture(scope="module")
+def dirty_corpus(spark):
+    docs, cands = generate_corpus(n_docs=120, base_seed=42)
+    dirty_docs = [
+        dict(
+            doc_id=d["doc_id"],
+            spans=[
+                dict(s, text=(s["text"] or "") + DIRT if s["kind"] == "text" else s["text"])
+                for s in d["spans"]
+            ],
+        )
+        for d in docs
+    ]
+    docs_df = spark.createDataFrame(
+        [
+            (d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+            for d in dirty_docs
+        ],
+        schema.DOCUMENTS_SPANS,
+    )
+    cands_df = spark.createDataFrame(
+        [(c["doc_id"], c["offset"], c["engine"], c["text"], c["confidence"]) for c in cands],
+        schema.MEDIA_CANDIDATES,
+    )
+    return dirty_docs, cands, docs_df, cands_df
+
+
+def to_dict(df):
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in (r["spans"] or [])
+        ]
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("tier", [None, "minimal", "balanced", "enhanced"])
+def test_pipeline_matches_oracle_per_tier(dirty_corpus, tier):
+    dirty_docs, cands, docs_df, cands_df = dirty_corpus
+    expected = {
+        k: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in v]
+        for k, v in oracle.extract_corpus(dirty_docs, cands, normalize=tier).items()
+    }
+    got = to_dict(run_pipeline(docs_df, cands_df, normalize=tier))
+    assert got == expected
+
+
+def test_tiers_differ_on_dirty_input(dirty_corpus):
+    dirty_docs, cands, docs_df, cands_df = dirty_corpus
+    raw = to_dict(run_pipeline(docs_df, cands_df))
+    enh = to_dict(run_pipeline(docs_df, cands_df, normalize="enhanced"))
+    assert raw != enh  # the stage actually does something
+    # normalization never changes span counts or order
+    assert {k: len(v) for k, v in raw.items()} == {k: len(v) for k, v in enh.items()}
+
+
+def test_unknown_tier_rejected(dirty_corpus):
+    *_, docs_df, cands_df = dirty_corpus
+    with pytest.raises(ValueError, match="unknown normalize tier"):
+        run_pipeline(docs_df, cands_df, normalize="extreme")
