@@ -120,11 +120,20 @@ def _with_fused_map(docs: DataFrame, candidates: DataFrame | None) -> DataFrame:
     )
 
 
-def extract(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
-    """Full pipeline: (doc_id, spans) [+ candidates] -> (doc_id, spans out)."""
+def extract(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Full pipeline: (doc_id, spans) [+ candidates] -> (doc_id, spans out).
+
+    ``passthrough`` carries extra input columns (e.g. a per-doc strategy
+    computed upstream) into the output unchanged.
+    """
     docs = _with_fused_map(valid_documents(docs), candidates)
     return docs.select(
         "doc_id",
+        *(passthrough or []),
         assemble_expr(F.col("spans"), F.col("fused_map")).alias("spans"),
     )
 

@@ -100,7 +100,12 @@ def extract_document(
         else:
             if rules.is_content(s["text"]):
                 out.append(dict(kind="text", text=s["text"], media_ref=s["media_ref"]))
-    norm = rules.NORMALIZERS[normalize] if normalize else (lambda t: t)
+    if normalize == "auto":
+        norm = rules.NORMALIZERS[rules.doc_strategy(doc["spans"] or [])]
+    elif normalize:
+        norm = rules.NORMALIZERS[normalize]
+    else:
+        norm = lambda t: t  # noqa: E731
     return dict(
         doc_id=doc["doc_id"],
         spans=[

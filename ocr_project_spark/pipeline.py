@@ -49,12 +49,33 @@ def run_pipeline(
     normalize: str | None = None,
 ) -> DataFrame:
     """Full composed pipeline.  ``normalize`` in {None, 'minimal',
-    'balanced', 'enhanced'} selects the K4-K6 output-cleanup tier."""
-    out = extract(docs, candidates)
+    'balanced', 'enhanced', 'auto'} selects the K4-K6 output-cleanup
+    tier; 'auto' routes each document through the tier its K1-K3
+    quality score recommends (features on RAW input spans, the way the
+    reference analyzes the raw image before enhancement)."""
     if normalize is None:
-        return out
+        return extract(docs, candidates)
+    if normalize == "auto":
+        from ocr_project_spark.functions import features as FT
+
+        staged = docs.withColumn(
+            "_strategy",
+            FT.strategy_expr(FT.quality_score_expr(FT.doc_features_expr(F.col("spans")))),
+        )
+        out = extract(staged, candidates, passthrough=["_strategy"])
+        normalized = F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                cleanup.normalize_for_strategy(s["text"], F.col("_strategy")).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["order"].alias("order"),
+            ),
+        )
+        return out.select("doc_id", normalized.alias("spans"))
     if normalize not in _TIERS:
         raise ValueError(f"unknown normalize tier: {normalize!r}")
+    out = extract(docs, candidates)
     return out.select(
         "doc_id", _normalize_spans(F.col("spans"), normalize).alias("spans")
     )

@@ -105,3 +105,40 @@ NORMALIZERS = {
     "balanced": normalize_balanced,
     "enhanced": normalize_enhanced,
 }
+
+
+# --- K1-K3 python mirror (functions/features.py) ---
+def doc_features(spans: list[dict]) -> dict:
+    spans = spans or []
+    toks: list[str] = []
+    for s in spans:
+        if s["kind"] == "text":
+            toks.extend(t for t in (s["text"] or "").strip().split() if t)
+    n_tok = len(toks)
+    return dict(
+        n_spans=len(spans),
+        n_media=sum(1 for s in spans if s["kind"] == "media"),
+        n_tokens=n_tok,
+        diversity=(len(set(toks)) / n_tok) if n_tok else 0.0,
+        link_density=(sum(1 for t in toks if t == LINK_TOKEN) / n_tok) if n_tok else 0.0,
+    )
+
+
+def doc_quality_score(feat: dict) -> float:
+    length_score = min(1.0, feat["n_tokens"] / 200.0)
+    media_ratio = feat["n_media"] / feat["n_spans"] if feat["n_spans"] else 0.0
+    return (
+        0.30 * length_score
+        + 0.25 * feat["diversity"]
+        + 0.25 * (1.0 - feat["link_density"])
+        + 0.20 * (1.0 - media_ratio)
+    )
+
+
+def doc_strategy(spans: list[dict]) -> str:
+    score = doc_quality_score(doc_features(spans))
+    if score >= 0.8:
+        return "minimal"
+    if score >= 0.4:
+        return "balanced"
+    return "enhanced"

@@ -51,7 +51,7 @@ def to_dict(df):
     }
 
 
-@pytest.mark.parametrize("tier", [None, "minimal", "balanced", "enhanced"])
+@pytest.mark.parametrize("tier", [None, "minimal", "balanced", "enhanced", "auto"])
 def test_pipeline_matches_oracle_per_tier(dirty_corpus, tier):
     dirty_docs, cands, docs_df, cands_df = dirty_corpus
     expected = {
@@ -75,3 +75,11 @@ def test_unknown_tier_rejected(dirty_corpus):
     *_, docs_df, cands_df = dirty_corpus
     with pytest.raises(ValueError, match="unknown normalize tier"):
         run_pipeline(docs_df, cands_df, normalize="extreme")
+
+
+def test_auto_routing_exercises_multiple_tiers(dirty_corpus):
+    from ocr_project_spark import rules
+
+    dirty_docs, *_ = dirty_corpus
+    tiers = {rules.doc_strategy(d["spans"] or []) for d in dirty_docs}
+    assert len(tiers) >= 2, tiers  # routing must actually branch
