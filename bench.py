@@ -96,7 +96,7 @@ def main() -> None:
     docs = spark.read.parquet(f"{corpus_dir}/documents_spans.parquet")
     cands = spark.read.parquet(f"{corpus_dir}/media_candidates.parquet")
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):   # fused no-exchange plans JIT over two passes
         t0 = time.perf_counter()
         _noop_sink(extract(docs, cands))
         dt = min(dt, time.perf_counter() - t0)
@@ -113,12 +113,25 @@ def main() -> None:
         open(f"{bkt_root}/_DONE", "w").write("ok")
     docs_b, cands_b = read_bucketed(spark, bkt_root, n_buckets=2 * cpus)
     dtb = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         _noop_sink(extract(docs_b, cands_b))
         dtb = min(dtb, time.perf_counter() - t0)
     timings["extract_pipeline_bucketed"] = round(dtb, 3)
     docs_per_sec_bucketed = round(N_BENCH_DOCS / dtb, 1)
+
+    # the Arrow/pandas-UDF engine path (python-kernel tier) on the same
+    # corpus — quantifies the cost of leaving the JVM per batch
+    from ocr_project_spark.harness import _ensure_pyfiles
+    from ocr_project_spark.operators.extract_pandas import extract_pandas_engine
+
+    _ensure_pyfiles(spark)
+    dtp = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _noop_sink(extract_pandas_engine(docs, cands))
+        dtp = min(dtp, time.perf_counter() - t0)
+    timings["extract_pipeline_pandas_udf"] = round(dtp, 3)
 
     total = round(sum(timings.values()), 3)
     print(

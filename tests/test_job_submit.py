@@ -56,3 +56,54 @@ def test_spark_submit_pyfiles(tmp_path):
     assert summary["spans"] > 0
     assert os.path.isdir(os.path.join(out_dir, "extracted"))
     assert os.path.isdir(os.path.join(out_dir, "watermarks"))
+
+
+@pytest.mark.slow
+def test_spark_submit_bucketed_mode(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    sys.path.insert(0, ROOT)
+    from ocr_project_spark.session import get_spark
+    from ocr_project_spark.sources.bucketed import write_bucketed
+    from ocr_project_spark.sources.generate import write_corpus_parquet
+    from tools.make_pyfiles import build
+
+    doc_path, cand_path = write_corpus_parquet(str(tmp_path / "in"), n_docs=40)
+    spark = get_spark(app_name="prep-bkt", master="local[2]", shuffle_partitions=4)
+    write_bucketed(
+        spark,
+        spark.read.parquet(doc_path),
+        spark.read.parquet(cand_path),
+        str(tmp_path / "bkt"),
+        n_buckets=4,
+    )
+    # note: the submitted job runs in a fresh JVM/catalog and re-declares
+    # the external bucketed tables over this location
+    zip_path = build(str(tmp_path / "pkg.zip"))
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(ROOT, "ocr_project_spark", "job.py"),
+            "--bucketed-location", str(tmp_path / "bkt"),
+            "--bucketed-n", "4",
+            "--candidates", "yes",
+            "--output", out_dir,
+            "--run-id", "bkt-smoke",
+            "--no-checkpoint",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["docs"] == 40
