@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--input/--candidates parquet paths")
     p.add_argument("--bucketed-n", type=int, default=64,
                    help="bucket count of the bucketed tables")
+    p.add_argument("--normalize", default=None,
+                   choices=["minimal", "balanced", "enhanced", "auto"],
+                   help="K4-K6 output-cleanup tier; 'auto' routes per-doc "
+                        "by the K1-K3 quality strategy")
     return p
 
 
@@ -83,8 +87,13 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     if args.no_checkpoint:
-        fn = extract_chunked if args.chunk_mega_docs else extract
-        out = fn(docs, cands)
+        if args.normalize:
+            from ocr_project_spark.pipeline import run_pipeline
+
+            out = run_pipeline(docs, cands, normalize=args.normalize)
+        else:
+            fn = extract_chunked if args.chunk_mega_docs else extract
+            out = fn(docs, cands)
         observed_out, obs = metrics.observed(out)
         observed_out.write.mode("overwrite").parquet(
             f"{args.output}/{checkpoint.OUTPUT_TABLE}"
