@@ -1268,6 +1268,68 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# 44. Anti join — customers with no orders (the resume anti-join shape
+#     of plans/checkpoint.py at relational level)
+# --------------------------------------------------------------------
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice > 300000)
+"""
+
+
+# --------------------------------------------------------------------
+# 45. Pivot — per-user event-type count matrix
+# --------------------------------------------------------------------
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+_SQL_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'view')     AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'error')    AS error
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------
+# 46. CUBE grouping sets over orders
+# --------------------------------------------------------------------
+def q_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders WHERE o_orderkey < 2000
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
@@ -1307,6 +1369,9 @@ SPARK_QUERIES = {
     "bigram_topk": q_bigram_topk,
     "hourly_rollup": q_hourly_rollup,
     "span_pipeline": q_span_pipeline,
+    "customers_no_orders": q_customers_no_orders,
+    "event_pivot": q_event_pivot,
+    "order_cube": q_order_cube,
     "ivf_topk": q_ivf_topk,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
@@ -1352,6 +1417,9 @@ ORACLE_SQL = {
     "len_percentiles": _SQL_LEN_PCT,
     "bigram_topk": _SQL_BIGRAM,
     "hourly_rollup": _SQL_HOURLY,
+    "customers_no_orders": _SQL_ANTI,
+    "event_pivot": _SQL_PIVOT,
+    "order_cube": _SQL_CUBE,
     "asof_join": _SQL_ASOF,
     "interval_join": _SQL_INTERVAL,
     "normalize_text": _SQL_NORMALIZE,
