@@ -1334,6 +1334,49 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 # --------------------------------------------------------------------
+# 47. Semi join — customers that DO have a high-value order (C13-adjacent
+#     join-type breadth; the dual of customers_no_orders)
+# --------------------------------------------------------------------
+def q_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+_SQL_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+# --------------------------------------------------------------------
+# 48. JSON extraction over the events props column (map/JSON metadata
+#     handling, the metadata-dict analog of C13)
+# --------------------------------------------------------------------
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_total"),
+        F.round(F.avg(k), 4).alias("k_avg"),
+        F.count(F.when(k.isNull(), 1)).alias("k_missing"),
+    )
+
+
+_SQL_PROPS_JSON = """
+SELECT event_type,
+       sum(CAST(props->>'k' AS bigint)) AS k_total,
+       round(avg(CAST(props->>'k' AS bigint)), 4) AS k_avg,
+       count(*) FILTER (props->>'k' IS NULL) AS k_missing
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
@@ -1374,6 +1417,8 @@ SPARK_QUERIES = {
     "hourly_rollup": q_hourly_rollup,
     "span_pipeline": q_span_pipeline,
     "customers_no_orders": q_customers_no_orders,
+    "customers_with_big_orders": q_customers_with_big_orders,
+    "props_json": q_props_json,
     "event_pivot": q_event_pivot,
     "order_cube": q_order_cube,
     "ivf_topk": q_ivf_topk,
@@ -1422,6 +1467,8 @@ ORACLE_SQL = {
     "bigram_topk": _SQL_BIGRAM,
     "hourly_rollup": _SQL_HOURLY,
     "customers_no_orders": _SQL_ANTI,
+    "customers_with_big_orders": _SQL_SEMI,
+    "props_json": _SQL_PROPS_JSON,
     "event_pivot": _SQL_PIVOT,
     "order_cube": _SQL_CUBE,
     "asof_join": _SQL_ASOF,
