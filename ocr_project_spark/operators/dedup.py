@@ -12,9 +12,12 @@ training-data-pipeline mandate.  Four tiers:
                  the DuckDB oracle), banded into LSH buckets so
                  candidate pairs come from a bucket equi-join, never a
                  theta join.  This is the 100 TB-scale path.
-  simhash        64-bit SimHash from token md5 bits (vectorized pandas
-                 UDF in functions/engine_udfs.py; near-dup = Hamming
-                 distance <= r via bit-band bucketing)
+  simhash        16-bit SimHash from token md5 nibble votes (pure
+                 column expressions; near-dup = Hamming <= r via
+                 bit-band bucketing, pigeonhole-exact)
+  clusters       pairs -> connected components (iterative min-label
+                 propagation, one equi-join per round) -> keeper
+                 election; the last stage every dedup tier feeds
 """
 
 from __future__ import annotations
@@ -234,4 +237,78 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+# ---------------------------------------------------- duplicate clusters
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id).
+
+    The missing last stage of every dedup tier: candidate PAIRS
+    (from MinHash-LSH / SimHash / cosine) must become CLUSTERS before a
+    keeper can be elected.  Algorithm: iterative min-label propagation —
+    every vertex takes the minimum label among itself and its
+    neighbors; fixpoint in <= diameter iterations (few, for near-dup
+    graphs which are small cliques/chains).  Each iteration is one
+    shuffle-partitioned equi-join + hash aggregate, the large-vertex-set
+    formulation (no driver-side graph, no GraphX dependency).
+
+    Convergence is detected with a count of changed labels per
+    iteration — a driver-side scalar, metadata cost only.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("new_cluster_id"),
+                "cluster_id",
+            )
+        )
+        changed = updated.where(
+            F.col("new_cluster_id") != F.col("cluster_id")
+        ).count()
+        labels = updated.select(
+            "id", F.col("new_cluster_id").alias("cluster_id")
+        ).localCheckpoint(eager=True)  # truncate the iterative lineage
+        if changed == 0:
+            break
+    return labels
+
+
+def elect_keepers(
+    clusters: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """(id, cluster_id) -> (cluster_id, keeper_id, n_members).
+
+    Keeper = min id per cluster (deterministic; swap the orderBy for a
+    quality score at the call site to keep the best document instead).
+    """
+    return clusters.groupBy(cluster_col).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_members"),
     )
