@@ -179,3 +179,28 @@ def read_watermarks(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.schema(schema.WATERMARKS).parquet(
         _path(out_dir, WATERMARK_TABLE)
     )
+
+
+def read_as_of(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    as_of_ticks: int | None = None,
+) -> DataFrame:
+    """Snapshot read: only buckets whose watermark committed at or
+    before ``as_of_ticks`` (None = latest).  The watermark table acts
+    as the snapshot log — the sandbox analog of Iceberg time travel
+    (`VERSION AS OF`): a reader pinned to a tick set sees a consistent
+    prefix of the run regardless of concurrent later commits.
+
+    Metadata-scale operation: the filter list is n_buckets long and
+    prunes bucket=... partition directories at scan planning.
+    """
+    wm = read_watermarks(spark, out_dir).where(
+        (F.col("run_id") == run_id) & (F.col("status") == "committed")
+    )
+    if as_of_ticks is not None:
+        wm = wm.where(F.col("committed_at_ticks") <= as_of_ticks)
+    buckets = [r["bucket"] for r in wm.select("bucket").distinct().collect()]
+    out = spark.read.parquet(_path(out_dir, OUTPUT_TABLE))
+    return out.where(F.col("bucket").isin(buckets)).drop("bucket")

@@ -193,3 +193,27 @@ def test_checkpoint_chunked_matches(spark, corpus, corpus_dfs, tmp_path):
         for k, v in oracle.extract_corpus(docs, cands).items()
     }
     assert to_dict(out) == expected
+
+
+def test_read_as_of_snapshot(spark, corpus_dfs, tmp_path):
+    docs_df, cands_df = corpus_dfs
+    ck = str(tmp_path / "ck4")
+    with pytest.raises(RuntimeError):
+        checkpoint.run(
+            spark, docs_df, ck, "r4", candidates=cands_df,
+            n_buckets=8, bucket_batch_size=2, fail_after_batches=2,
+        )
+    mid_ticks = checkpoint.read_watermarks(spark, ck).agg(
+        F.max("committed_at_ticks")
+    ).collect()[0][0]
+    mid_docs = checkpoint.read_as_of(spark, ck, "r4").count()
+    assert 0 < mid_docs
+
+    checkpoint.run(
+        spark, docs_df, ck, "r4", candidates=cands_df,
+        n_buckets=8, bucket_batch_size=2,
+    )
+    full = checkpoint.read_as_of(spark, ck, "r4").count()
+    assert full == docs_df.count()
+    # pinned to the pre-crash tick: still sees only the first commits
+    assert checkpoint.read_as_of(spark, ck, "r4", as_of_ticks=mid_ticks).count() == mid_docs
