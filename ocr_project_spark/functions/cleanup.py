@@ -23,12 +23,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# Edge-strip uses an explicit \s regex (not F.trim, which strips ASCII
+# spaces only) so the Spark, DuckDB-oracle, and pure-Python (rules.py)
+# normalizers agree on \t/\n/\r-edged input.  \r (\x0d) is explicitly IN
+# the balanced control-char class: CR is a control artifact the
+# enhancement tier normalizes away (CRLF -> LF before the newline-run
+# collapse), and all three implementations share that decision.
 def normalize_minimal(text: Column) -> Column:
-    return F.trim(F.regexp_replace(text, r"[ \t]+", " "))
+    t = F.regexp_replace(text, r"[ \t]+", " ")
+    # explicit ASCII class, not \s: Python's \s is unicode-wide while
+    # Java's and RE2's are ASCII — the class is the portable subset
+    return F.regexp_replace(t, r"^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$", "")
 
 
 def normalize_balanced(text: Column) -> Column:
-    t = F.regexp_replace(text, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    t = F.regexp_replace(text, r"[\x00-\x08\x0b-\x1f]", "")
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")   # C3, paddleocr.py:396-398
     return normalize_minimal(t)
 

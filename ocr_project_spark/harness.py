@@ -43,24 +43,38 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _PYFILES_ADDED:
         return
+    import hashlib
     import os
-    import sys
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join("/tmp", "ocr_project_spark_pyfiles.zip")
+    sources: list[tuple[str, str]] = []
+    for dirpath, dirnames, filenames in os.walk(pkg_dir):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                rel = os.path.join(
+                    "ocr_project_spark", os.path.relpath(full, pkg_dir)
+                )
+                sources.append((full, rel))
+    # Name the zip by a content hash of the package sources so source
+    # edits invalidate the shipped artifact (a path-stable cached zip
+    # would feed executors stale code after any edit).
+    h = hashlib.sha256()
+    for full, rel in sorted(sources, key=lambda p: p[1]):
+        h.update(rel.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    out = os.path.join(
+        "/tmp", f"ocr_project_spark_pyfiles_{h.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(out):
-        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
-            for dirpath, dirnames, filenames in os.walk(pkg_dir):
-                dirnames[:] = [d for d in dirnames if d != "__pycache__"]
-                for fn in sorted(filenames):
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        rel = os.path.join(
-                            "ocr_project_spark",
-                            os.path.relpath(full, pkg_dir),
-                        )
-                        z.write(full, rel)
+        tmp = out + f".{os.getpid()}.part"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for full, rel in sources:
+                z.write(full, rel)
+        os.replace(tmp, out)
     spark.sparkContext.addPyFile(out)
     _PYFILES_ADDED.add(key)
 
@@ -1173,22 +1187,25 @@ WITH t AS (
   FROM documents WHERE doc_id < 200
 )
 SELECT doc_id,
-  trim(regexp_replace(dirty, '[ \t]+', ' ', 'g')) AS n_min,
-  trim(regexp_replace(
+  regexp_replace(regexp_replace(dirty, '[ \t]+', ' ', 'g'),
+                 '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS n_min,
+  regexp_replace(regexp_replace(
     regexp_replace(
-      regexp_replace(dirty, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+      regexp_replace(dirty, '[\x00-\x08\x0b-\x1f]', '', 'g'),
       '\n{3,}', chr(10) || chr(10), 'g'),
-    '[ \t]+', ' ', 'g')) AS n_bal,
-  trim(regexp_replace(
+    '[ \t]+', ' ', 'g'),
+    '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS n_bal,
+  regexp_replace(regexp_replace(
     regexp_replace(
       regexp_replace(
           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
             regexp_replace(dirty, '[' || chr(65533) || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),
             '!{3,}', '!!', 'g'), '\?{3,}', '??', 'g'), '\.{3,}', '..', 'g'),
             ',{3,}', ',,', 'g'), ';{3,}', ';;', 'g'), ':{3,}', '::', 'g'),
-        '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+        '[\x00-\x08\x0b-\x1f]', '', 'g'),
       '\n{3,}', chr(10) || chr(10), 'g'),
-    '[ \t]+', ' ', 'g')) AS n_enh
+    '[ \t]+', ' ', 'g'),
+    '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS n_enh
 FROM t
 """
 
@@ -1360,9 +1377,12 @@ WHERE c_custkey IN (
 def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # k_avg rounded to 3 decimals on both sides: float round boundaries
+    # between Spark and DuckDB differ at the 4th decimal (the round-1
+    # driver hash-fail), so aggregates of ratios pin to 3.
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("k_total"),
-        F.round(F.avg(k), 4).alias("k_avg"),
+        F.round(F.avg(k), 3).alias("k_avg"),
         F.count(F.when(k.isNull(), 1)).alias("k_missing"),
     )
 
@@ -1370,7 +1390,7 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PROPS_JSON = """
 SELECT event_type,
        sum(CAST(props->>'k' AS bigint)) AS k_total,
-       round(avg(CAST(props->>'k' AS bigint)), 4) AS k_avg,
+       round(avg(CAST(props->>'k' AS bigint)), 3) AS k_avg,
        count(*) FILTER (props->>'k' IS NULL) AS k_missing
 FROM events GROUP BY event_type
 """

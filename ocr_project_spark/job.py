@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--input/--candidates parquet paths")
     p.add_argument("--bucketed-n", type=int, default=64,
                    help="bucket count of the bucketed tables")
+    p.add_argument("--no-candidates", action="store_true",
+                   help="run fusion-less extraction (ignore the bucketed "
+                        "candidates table / omit --candidates)")
     p.add_argument("--normalize", default=None,
                    choices=["minimal", "balanced", "enhanced", "auto"],
                    help="K4-K6 output-cleanup tier; 'auto' routes per-doc "
@@ -59,6 +62,15 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if not args.input and not args.bucketed_location:
         build_parser().error("one of --input / --bucketed-location is required")
+    if args.bucketed_location and args.candidates:
+        # --candidates is a parquet path for the non-bucketed mode; in
+        # bucketed mode candidates come from the bucketed tables, so a
+        # path here would be silently ignored — refuse instead.
+        build_parser().error(
+            "--candidates is for --input mode; in --bucketed-location mode "
+            "candidates come from the bucketed tables (use --no-candidates "
+            "to skip fusion)"
+        )
 
     from pyspark.sql import functions as F
 
@@ -76,11 +88,15 @@ def main(argv: list[str] | None = None) -> int:
         docs, cands = read_bucketed(
             spark, args.bucketed_location, n_buckets=args.bucketed_n
         )
-        if not args.candidates:
+        if args.no_candidates:
             cands = None
     else:
         docs = spark.read.parquet(args.input)
-        cands = spark.read.parquet(args.candidates) if args.candidates else None
+        cands = (
+            spark.read.parquet(args.candidates)
+            if args.candidates and not args.no_candidates
+            else None
+        )
         par = args.parallelism or 2 * spark.sparkContext.defaultParallelism
         docs = partitioning.repartition_for_extract(
             docs, par, threshold=args.mega_span_threshold

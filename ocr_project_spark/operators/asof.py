@@ -80,17 +80,29 @@ def interval_join(
 ) -> DataFrame:
     """Equi-join-shaped interval join: left rows x ranges with
     start <= ts < end.  Ranges explode to the buckets they overlap;
-    rows join on their single bucket; the exact predicate filters."""
-    ts_b = (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
-    start_b = (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long")
-    # end is exclusive: a range ending exactly on a bucket boundary
-    # does not overlap that bucket
-    end_b = ((F.unix_timestamp(F.col(end_col)) - 1) / bucket_seconds).cast("long")
+    rows join on their single bucket; the exact predicate filters.
+
+    Bucketing is done on fractional epoch seconds (timestamp cast to
+    double), not ``unix_timestamp`` (which truncates sub-second parts
+    and silently drops rows whose bucket the truncated end misses).
+    ``end`` is exclusive, so the last covered bucket is
+    ``ceil(end/bucket) - 1`` — a range ending exactly on a boundary
+    does not overlap that bucket, while a fractional overhang does.
+    Degenerate ranges (end <= start) cover nothing and are dropped
+    before the explode so ``sequence`` can never descend.
+    """
+    ts_b = F.floor(F.col(ts_col).cast("double") / bucket_seconds).cast("long")
+    start_b = F.floor(
+        F.col(start_col).cast("double") / bucket_seconds
+    ).cast("long")
+    end_b = (
+        F.ceil(F.col(end_col).cast("double") / bucket_seconds) - 1
+    ).cast("long")
 
     l = left.withColumn("_bucket", ts_b)
-    r = ranges.withColumn(
-        "_bucket", F.explode(F.sequence(start_b, end_b))
-    )
+    r = ranges.where(
+        F.col(start_col).cast("double") < F.col(end_col).cast("double")
+    ).withColumn("_bucket", F.explode(F.sequence(start_b, end_b)))
     joined = l.join(r, "_bucket")
     return joined.where(
         (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))

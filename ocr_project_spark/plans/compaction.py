@@ -60,11 +60,47 @@ def compact_output(
     if victims:
         df = spark.read.parquet(table_path)
         batch = df.where(F.col("bucket").isin(list(victims)))
-        max_bytes = max(s for _, s in victims.values())
-        n_out_files = max(1, -(-max_bytes // target_bytes))  # ceil
+        # Per-bucket fan-out: bucket b rewrites into
+        # ceil(bucket_bytes/target) files — NOT a single repartition on
+        # the bucket column (which collapses each bucket into one task
+        # and therefore one file of arbitrary size, destroying scan
+        # parallelism for oversized buckets).
+        n_files = {
+            b: max(1, -(-size // target_bytes)) for b, (_, size) in victims.items()
+        }
+        offsets: dict[int, int] = {}
+        total = 0
+        for b in sorted(n_files):
+            offsets[b] = total
+            total += n_files[b]
+        n_map = F.create_map(
+            *[F.lit(v) for b in sorted(n_files) for v in (b, n_files[b])]
+        )
+        off_map = F.create_map(
+            *[F.lit(v) for b in sorted(offsets) for v in (b, offsets[b])]
+        )
+        # Global file index 0..total-1 = bucket offset + per-bucket split
+        # derived from row content (deterministic under task retry);
+        # range-partitioning on it gives each index its own writer task
+        # with no hash collisions, so each bucket fans out to ~target
+        # sized files.
+        file_idx = off_map[F.col("bucket")] + F.pmod(
+            F.xxhash64(F.col("doc_id")), n_map[F.col("bucket")]
+        )
+        # Backstop for range-sampler boundary merges: cap records per
+        # output file at ~1.25x the largest intended per-file row count.
+        rows = dict(
+            batch.groupBy("bucket").count().collect()
+        )  # metadata-scale: one row per victim bucket
+        max_rows_per_file = max(
+            -(-rows.get(b, 0) // n_files[b]) for b in n_files
+        )
         (
-            batch.repartition(n_out_files * len(victims), "bucket")
+            batch.withColumn("_file_idx", file_idx)
+            .repartitionByRange(max(1, total), "_file_idx")
+            .drop("_file_idx")
             .write.mode("overwrite")
+            .option("maxRecordsPerFile", int(max_rows_per_file * 1.25) + 1)
             .partitionBy("bucket")
             .parquet(table_path)
         )
@@ -73,4 +109,8 @@ def compact_output(
         "buckets_compacted": len(victims),
         "files_before": files_before,
         "files_after": sum(n for n, _ in after.values()),
+        "per_bucket_after": {b: after[b][0] for b in victims if b in after},
+        "per_bucket_target": (
+            {b: int(n) for b, n in n_files.items()} if victims else {}
+        ),
     }

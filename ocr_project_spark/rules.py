@@ -78,14 +78,20 @@ def jaccard_words(a: str | None, b: str | None) -> float:
 import re as _re
 
 _WS = _re.compile(r"[ \t]+")
-_CTRL = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# \r (\x0d) is explicitly IN the control class (CRLF -> LF before the
+# newline-run collapse); edge-strip uses the explicit ASCII class, not
+# str.strip() / \s, so this mirror, functions/cleanup.py, and the DuckDB
+# oracle normalize byte-for-byte identically (\s is unicode-wide in
+# Python but ASCII in Java/RE2).
+_CTRL = _re.compile(r"[\x00-\x08\x0b-\x1f]")
 _NL_RUN = _re.compile(r"\n{3,}")
+_EDGE_WS = _re.compile(r"^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$")
 _ZERO_WIDTH = _re.compile("[�​‌‍﻿]")
 _PUNCT_RUN = _re.compile(r"([!?.,;:])\1{2,}")
 
 
 def normalize_minimal(text: str | None) -> str:
-    return _WS.sub(" ", text or "").strip()
+    return _EDGE_WS.sub("", _WS.sub(" ", text or ""))
 
 
 def normalize_balanced(text: str | None) -> str:

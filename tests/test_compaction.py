@@ -35,8 +35,45 @@ def test_compaction_reduces_files_preserves_rows(spark, corpus_dfs, tmp_path):
     got = to_dict(spark.read.parquet(path).drop("bucket"))
     assert got == baseline
 
+    # with a generous target every bucket collapses to exactly ONE file
+    assert all(n == 1 for n in stats["per_bucket_after"].values())
+
     # idempotent: second run is a no-op (everything already compact)
     stats2 = compact_output(spark, path, target_bytes=64 * 1024 * 1024,
                             min_files_to_compact=3)
     assert stats2["buckets_compacted"] == 0
+    assert to_dict(spark.read.parquet(path).drop("bucket")) == baseline
+
+
+def test_compaction_respects_target_file_size(spark, corpus_dfs, tmp_path):
+    """An oversized bucket must fan out to ~ceil(bucket_bytes/target)
+    files, not collapse into one giant file (the round-1 bug)."""
+    docs_df, cands_df = corpus_dfs
+    out = with_bucket(extract(docs_df, cands_df), 2)
+    path = str(tmp_path / "extracted_sized")
+    out.repartition(10).write.partitionBy("bucket").parquet(path)
+    baseline = to_dict(spark.read.parquet(path).drop("bucket"))
+
+    # pick a target that forces multiple output files per bucket
+    import os
+    sizes = {}
+    for entry in os.listdir(path):
+        if entry.startswith("bucket="):
+            b = int(entry.split("=")[1])
+            sizes[b] = sum(
+                os.path.getsize(os.path.join(path, entry, f))
+                for f in os.listdir(os.path.join(path, entry))
+                if f.endswith(".parquet")
+            )
+    target = max(1024, min(sizes.values()) // 3)
+
+    stats = compact_output(spark, path, target_bytes=target,
+                           min_files_to_compact=3)
+    assert stats["buckets_compacted"] == 2
+    for b, want in stats["per_bucket_target"].items():
+        got = stats["per_bucket_after"][b]
+        assert want >= 3          # the scenario really is multi-file
+        # per-file parquet overhead inflates the post-compaction size a
+        # bit; allow +/-1 plus the maxRecordsPerFile backstop split
+        assert abs(got - want) <= max(1, want // 3), (b, got, want)
     assert to_dict(spark.read.parquet(path).drop("bucket")) == baseline

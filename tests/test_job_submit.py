@@ -95,7 +95,6 @@ def test_spark_submit_bucketed_mode(tmp_path):
             os.path.join(ROOT, "ocr_project_spark", "job.py"),
             "--bucketed-location", str(tmp_path / "bkt"),
             "--bucketed-n", "4",
-            "--candidates", "yes",
             "--output", out_dir,
             "--run-id", "bkt-smoke",
             "--no-checkpoint",
