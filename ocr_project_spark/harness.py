@@ -1397,6 +1397,76 @@ FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------
+# 49. Never-fail error-status rows: invalid docs surface as
+#     status(ok=false, reason) rows with empty spans instead of being
+#     dropped (reference pipeline.py:286-309, engine_manager.py:132-142
+#     turn per-item exceptions into error results).  Deterministic
+#     fault injection over the documents table, then extract() and a
+#     per-reason rollup.
+# --------------------------------------------------------------------
+def q_error_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.extract import extract
+
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    span_t = (
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    good_span = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    bad_span = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(None).cast("int").alias("offset"),
+        )
+    )
+    docs = d.select(
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast(span_t))
+        .when(F.col("doc_id") % 13 == 0, bad_span)
+        .otherwise(good_span)
+        .alias("spans"),
+    )
+    out = extract(docs)
+    return out.groupBy(
+        F.col("status.ok").alias("ok"),
+        F.coalesce(F.col("status.reason"), F.lit("none")).alias("reason"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.col("spans"))).alias("n_spans"),
+    )
+
+
+_SQL_ERROR_ROWS = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'null_doc_id'
+              WHEN doc_id % 11 = 0 THEN 'null_spans'
+              WHEN doc_id % 13 = 0 THEN 'malformed_span'
+              ELSE 'none' END AS reason,
+         len({toks}) AS ntok,
+         len(list_filter({toks}, x -> x = '<a>')) AS nlink
+  FROM documents WHERE doc_id < 500
+)
+SELECT reason = 'none' AS ok, reason,
+       count(*) AS n_docs,
+       sum(CASE WHEN reason = 'none' AND ntok >= 8
+                     AND nlink * 1.0 / ntok < 0.4
+                THEN 1 ELSE 0 END) AS n_spans
+FROM t GROUP BY 1, 2
+""".format(toks=_WS_TOKS.format(c="text"))
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
@@ -1439,6 +1509,7 @@ SPARK_QUERIES = {
     "customers_no_orders": q_customers_no_orders,
     "customers_with_big_orders": q_customers_with_big_orders,
     "props_json": q_props_json,
+    "error_rows": q_error_rows,
     "event_pivot": q_event_pivot,
     "order_cube": q_order_cube,
     "ivf_topk": q_ivf_topk,
@@ -1489,6 +1560,7 @@ ORACLE_SQL = {
     "customers_no_orders": _SQL_ANTI,
     "customers_with_big_orders": _SQL_SEMI,
     "props_json": _SQL_PROPS_JSON,
+    "error_rows": _SQL_ERROR_ROWS,
     "event_pivot": _SQL_PIVOT,
     "order_cube": _SQL_CUBE,
     "asof_join": _SQL_ASOF,

@@ -86,10 +86,47 @@ def assemble_expr(spans: Column, fused_map: Column) -> Column:
     )
 
 
+SPAN_ARRAY_TYPE = (
+    "array<struct<kind:string,text:string,media_ref:string,order:int>>"
+)
+
+
+def _status(ok: bool, reason: str | None) -> Column:
+    return F.struct(
+        F.lit(ok).alias("ok"), F.lit(reason).cast("string").alias("reason")
+    )
+
+
+def doc_status_expr() -> Column:
+    """Never-fail input validation — the reference's per-image
+    error-result contract (pipeline.py:286-309, engine_manager.py:132-142
+    turn per-item exceptions into error results; a batch never dies).
+    Invalid documents become ``status.ok = false`` rows with a reason,
+    NOT dropped rows: at 10^12 docs silent drops are undetectable and
+    unauditable.  Reasons, checked in order:
+
+      null_doc_id     no identity — cannot join candidates or dedupe
+      null_spans      spans column itself is NULL (absent payload)
+      malformed_span  some span lacks the fields assembly sorts and
+                      classifies on (offset / kind)
+    """
+    bad_span = F.exists(
+        F.col("spans"), lambda s: s["offset"].isNull() | s["kind"].isNull()
+    )
+    return (
+        F.when(F.col("doc_id").isNull(), _status(False, "null_doc_id"))
+        .when(F.col("spans").isNull(), _status(False, "null_spans"))
+        .when(bad_span, _status(False, "malformed_span"))
+        .otherwise(_status(True, None))
+    )
+
+
 def valid_documents(docs: DataFrame) -> DataFrame:
     """F1 validity predicate — the analog of the empty/shape checks at
     base_engine.py:86-112.  Empty docs pass through with empty output
-    (the reference's NO-TEXT path, tesseract.py:147-157)."""
+    (the reference's NO-TEXT path, tesseract.py:147-157).  Kept for
+    callers that want the filtering behavior; extract() itself now
+    routes invalid docs to error-status rows instead (doc_status_expr)."""
     return docs.where(F.col("doc_id").isNotNull())
 
 
@@ -125,16 +162,29 @@ def extract(
     candidates: DataFrame | None = None,
     passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """Full pipeline: (doc_id, spans) [+ candidates] -> (doc_id, spans out).
+    """Full pipeline: (doc_id, spans) [+ candidates] ->
+    (doc_id, spans out, status).
 
     ``passthrough`` carries extra input columns (e.g. a per-doc strategy
     computed upstream) into the output unchanged.
+
+    Never-fail contract: invalid input docs are NOT dropped — they emit
+    (doc_id, [], status{ok=false, reason}) rows (doc_status_expr).  The
+    error rows ride the same single-pass plan (conditional assembly)
+    rather than a filter-split-union, which would scan the source twice;
+    their join keys are null/rare so they add no shuffle skew of note.
     """
-    docs = _with_fused_map(valid_documents(docs), candidates)
+    docs = _with_fused_map(docs.withColumn("status", doc_status_expr()), candidates)
     return docs.select(
         "doc_id",
         *(passthrough or []),
-        assemble_expr(F.col("spans"), F.col("fused_map")).alias("spans"),
+        F.when(
+            F.col("status.ok"),
+            assemble_expr(F.col("spans"), F.col("fused_map")),
+        )
+        .otherwise(F.array().cast(SPAN_ARRAY_TYPE))
+        .alias("spans"),
+        "status",
     )
 
 
@@ -162,11 +212,25 @@ def extract_chunked(
         reassemble_chunks,
     )
 
-    chunks = chunk_documents(valid_documents(docs), max_spans_per_chunk)
+    # Chunking genuinely reshapes rows, so the never-fail contract here
+    # is a filter-split: ok docs chunk + assemble + reassemble, invalid
+    # docs bypass as empty-spans error rows and union back.  (The plain
+    # extract() keeps a single pass instead — no reshape there.)
+    tagged = docs.withColumn("status", doc_status_expr())
+    bad = tagged.where(~F.col("status.ok")).select(
+        "doc_id",
+        F.array().cast(SPAN_ARRAY_TYPE).alias("spans"),
+        "status",
+    )
+    ok = tagged.where(F.col("status.ok")).drop("status")
+
+    chunks = chunk_documents(ok, max_spans_per_chunk)
     chunks = _with_fused_map(chunks, candidates)
     per_chunk = chunks.select(
         "doc_id",
         "chunk_id",
         assemble_expr(F.col("spans"), F.col("fused_map")).alias("spans"),
     )
-    return reassemble_chunks(per_chunk)
+    return reassemble_chunks(per_chunk).withColumn(
+        "status", _status(True, None)
+    ).unionByName(bad)

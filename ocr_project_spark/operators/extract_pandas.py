@@ -12,6 +12,13 @@ Use this path when the classifier genuinely needs Python (learned
 models, tokenizers); the HOF path wins whenever the rule is
 expression-expressible.  Tests pin exact output equality between the
 two paths.
+
+The kernel is flat-array vectorized: one flatten pass over the Arrow
+batch, then numpy gathers (np.repeat / lexsort / bincount-cumsum) for
+the stable sort, boilerplate keep-mask, dense per-doc order, and the
+regroup — no per-row pandas indexing and no per-document Python round
+trips.  The only Python-object work left is the unavoidable
+dict<->struct boundary of nested Arrow data in pandas UDFs.
 """
 
 from __future__ import annotations
@@ -24,75 +31,106 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ocr_project_spark.functions.fuse import fuse_media_candidates
-from ocr_project_spark.operators.extract import valid_documents
 
 _OUT_SCHEMA = (
     "doc_id string, "
-    "spans array<struct<kind:string,text:string,media_ref:string,order:int>>"
+    "spans array<struct<kind:string,text:string,media_ref:string,order:int>>, "
+    "status struct<ok:boolean,reason:string>"
 )
 
 
+def _doc_statuses(doc_ids: np.ndarray, spans_col: list) -> list[str | None]:
+    """Never-fail input validation, mirroring extract.doc_status_expr
+    (null_doc_id / null_spans / malformed_span, checked in that order);
+    None means ok."""
+    out: list[str | None] = [None] * len(spans_col)
+    for i, s in enumerate(spans_col):
+        if doc_ids[i] is None:
+            out[i] = "null_doc_id"
+        elif s is None:
+            out[i] = "null_spans"
+        elif any(d["offset"] is None or d["kind"] is None for d in s):
+            out[i] = "malformed_span"
+    return out
+
+
 def _assemble_batch(pdf: pd.DataFrame, classify) -> pd.DataFrame:
-    """Vectorized per-batch assembly: explode -> classify -> resolve ->
-    stable sort -> regroup.  One pandas pass over the whole Arrow batch
-    (many documents), no per-document Python round trips."""
-    doc_ids = pdf["doc_id"].to_numpy()
+    """Vectorized per-batch assembly: flatten -> classify -> resolve ->
+    lexsort -> keep-mask gather -> bincount regroup.  One pass over the
+    whole Arrow batch (many documents)."""
+    doc_ids = np.array(
+        [x if x is not None and x == x else None for x in pdf["doc_id"].tolist()],
+        dtype=object,
+    )
     spans_col = pdf["spans"].tolist()
-    fused_col = pdf["fused_map"].tolist() if "fused_map" in pdf else [None] * len(pdf)
+    spans_col = [s if isinstance(s, (list, np.ndarray)) else None for s in spans_col]
+    fused_col = (
+        pdf["fused_map"].tolist() if "fused_map" in pdf else [None] * len(pdf)
+    )
+    n_docs = len(spans_col)
+
+    reasons = _doc_statuses(doc_ids, spans_col)
+    ok = np.array([r is None for r in reasons], dtype=bool)
 
     counts = np.fromiter(
-        (len(s) if s is not None else 0 for s in spans_col),
+        (len(s) if (ok[i] and s is not None) else 0 for i, s in enumerate(spans_col)),
         dtype=np.int64,
-        count=len(spans_col),
+        count=n_docs,
     )
-    doc_pos = np.repeat(np.arange(len(spans_col)), counts)
-    flat: list = []
-    for s in spans_col:
-        if s is not None:
-            flat.extend(s)
+    total = int(counts.sum())
+    doc_pos = np.repeat(np.arange(n_docs), counts)
 
-    if flat:
-        kind = pd.Series([d["kind"] for d in flat], dtype="object")
-        text = pd.Series([d["text"] for d in flat], dtype="object")
-        media_ref = pd.Series([d["media_ref"] for d in flat], dtype="object")
-        offset = np.fromiter((d["offset"] for d in flat), dtype=np.int64, count=len(flat))
-        # storage index within each doc (stable-sort tiebreak)
-        idx = np.concatenate([np.arange(c) for c in counts if c > 0]) if counts.sum() else np.array([], dtype=np.int64)
+    if total:
+        flat = [d for i, s in enumerate(spans_col) if counts[i] for d in s]
+        kind = np.array([d["kind"] for d in flat], dtype=object)
+        text = np.array([d["text"] for d in flat], dtype=object)
+        media_ref = np.array([d["media_ref"] for d in flat], dtype=object)
+        offset = np.fromiter((d["offset"] for d in flat), dtype=np.int64, count=total)
+        # storage index within each doc (stable-sort tiebreak):
+        # arange minus each row's doc start, all vectorized
+        doc_starts = np.cumsum(counts) - counts
+        idx = np.arange(total) - np.repeat(doc_starts, counts)
 
-        is_media = (kind == "media").to_numpy()
-        content = classify(text)
+        is_media = kind == "media"
+        content = np.asarray(classify(pd.Series(text)), dtype=bool)
         keep = is_media | content
 
-        # media resolution through the fused winner map
+        # media resolution through the fused winner map (python-dict
+        # lookup; runs over media rows only)
         resolved = text.copy()
-        for i in np.nonzero(is_media)[0]:
+        for i in np.flatnonzero(is_media):
             fm = fused_col[doc_pos[i]]
-            if fm is not None:
+            if fm:
                 hit = fm.get(int(offset[i]))
                 if hit is not None:
-                    resolved.iloc[i] = hit["t"] if isinstance(hit, dict) else hit["t"]
+                    resolved[i] = hit["t"]
 
         order_sort = np.lexsort((idx, offset, doc_pos))
-        kept_sorted = [j for j in order_sort if keep[j]]
-    else:
-        kept_sorted = []
+        kept = order_sort[keep[order_sort]]  # sorted by (doc, offset, idx)
+        kd = doc_pos[kept]
+        kept_counts = np.bincount(kd, minlength=n_docs)
+        kept_starts = np.cumsum(kept_counts) - kept_counts
+        dense_order = np.arange(len(kept)) - kept_starts[kd]
 
-    out_spans: list[list[dict]] = [[] for _ in range(len(spans_col))]
-    for j in kept_sorted:
-        p = int(doc_pos[j])
-        out_spans[p].append(
-            dict(
-                kind=kind.iloc[j],
-                text=resolved.iloc[j],
-                media_ref=media_ref.iloc[j],
-                order=len(out_spans[p]),
+        span_dicts = [
+            {"kind": k, "text": t, "media_ref": m, "order": int(o)}
+            for k, t, m, o in zip(
+                kind[kept], resolved[kept], media_ref[kept], dense_order
             )
-        )
-    # null spans arrays stay null (parity with the HOF path)
-    result = [
-        None if spans_col[i] is None else out_spans[i] for i in range(len(spans_col))
+        ]
+        bounds = np.cumsum(kept_counts)
+        per_doc = [
+            span_dicts[a:b] for a, b in zip(np.r_[0, bounds[:-1]], bounds)
+        ]
+    else:
+        per_doc = [[] for _ in range(n_docs)]
+
+    statuses = [
+        {"ok": reasons[i] is None, "reason": reasons[i]} for i in range(n_docs)
     ]
-    return pd.DataFrame({"doc_id": doc_ids, "spans": result})
+    return pd.DataFrame(
+        {"doc_id": doc_ids, "spans": per_doc, "status": statuses}
+    )
 
 
 def extract_pandas_engine(
@@ -100,9 +138,10 @@ def extract_pandas_engine(
     candidates: DataFrame | None = None,
     classifier="density",
 ) -> DataFrame:
-    """(doc_id, spans) [+ candidates] -> (doc_id, spans out), via the
-    pandas-UDF engine path."""
-    docs = valid_documents(docs)
+    """(doc_id, spans) [+ candidates] -> (doc_id, spans out, status),
+    via the pandas-UDF engine path.  Invalid docs surface as
+    status.ok=false rows with empty spans (never-fail contract), in
+    lockstep with operators/extract.extract."""
     if candidates is not None:
         fused = fuse_media_candidates(candidates)
         fused_map = fused.groupBy("doc_id").agg(

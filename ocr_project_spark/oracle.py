@@ -78,6 +78,22 @@ def fuse_candidates(cands: list[dict]) -> dict | None:
     )
 
 
+def doc_status(doc: dict) -> tuple[bool, str | None]:
+    """Never-fail input validation (mirror of
+    operators/extract.doc_status_expr): (ok, reason).  The reference's
+    per-item error-result contract (pipeline.py:286-309,
+    engine_manager.py:132-142) — a bad document becomes an error row,
+    never a dropped row or a failed batch."""
+    if doc.get("doc_id") is None:
+        return False, "null_doc_id"
+    if doc.get("spans") is None:
+        return False, "null_spans"
+    for s in doc["spans"]:
+        if s.get("offset") is None or s.get("kind") is None:
+            return False, "malformed_span"
+    return True, None
+
+
 def extract_document(
     doc: dict, cands_by_key: dict | None = None, normalize: str | None = None
 ) -> dict:
@@ -87,6 +103,9 @@ def extract_document(
     media spans through fusion -> strip boilerplate text spans -> dense
     re-rank ``order``.
     """
+    ok, reason = doc_status(doc)
+    if not ok:
+        return dict(doc_id=doc.get("doc_id"), spans=[], status=(ok, reason))
     cands_by_key = cands_by_key or {}
     indexed = sorted(
         enumerate(doc["spans"] or []), key=lambda p: (p[1]["offset"], p[0])
@@ -112,6 +131,7 @@ def extract_document(
             dict(kind=s["kind"], text=norm(s["text"]), media_ref=s["media_ref"], order=i)
             for i, s in enumerate(out)
         ],
+        status=(True, None),
     )
 
 

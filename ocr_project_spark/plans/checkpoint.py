@@ -130,7 +130,7 @@ def run(
             _path(out_dir, OUTPUT_TABLE)
         )
         stats = {
-            r["bucket"]: (r["docs"], r["spans"])
+            r["bucket"]: (r["docs"], r["spans"], r["errors"])
             for r in spark.read.parquet(_path(out_dir, OUTPUT_TABLE))
             .where(F.col("bucket").isin(batch))
             .groupBy("bucket")
@@ -139,13 +139,18 @@ def run(
                 F.sum(F.size(F.coalesce(F.col("spans"), F.array())))
                 .cast("long")
                 .alias("spans"),
+                # never-fail contract: invalid docs are status rows in
+                # the output, counted into the lineage metrics table
+                F.sum(F.when(~F.col("status.ok"), 1).otherwise(0))
+                .cast("long")
+                .alias("errors"),
             )
             .collect()
         }
         elapsed_ms = int((time.monotonic() - t0) * 1000)
         ticks = time.time_ns()
         wm_rows = [
-            (run_id, int(b), "committed", int(stats.get(b, (0, 0))[0]), ticks)
+            (run_id, int(b), "committed", int(stats.get(b, (0, 0, 0))[0]), ticks)
             for b in batch
         ]
         met_rows = [
@@ -153,8 +158,8 @@ def run(
                 run_id,
                 int(b),
                 "extract",
-                int(stats.get(b, (0, 0))[0]),
-                0,
+                int(stats.get(b, (0, 0, 0))[0]),
+                int(stats.get(b, (0, 0, 0))[2]),
                 elapsed_ms,
             )
             for b in batch

@@ -33,15 +33,19 @@ def observed(df: DataFrame, name: str = "stage") -> tuple[DataFrame, Observation
     """
     obs = Observation(name)
     spans_sz = F.size(F.coalesce(F.col("spans"), F.array()))
-    return (
-        df.observe(
-            obs,
-            F.count(F.lit(1)).alias("docs"),
-            F.sum(spans_sz).alias("spans"),
-            F.sum(F.when(spans_sz == 0, 1).otherwise(0)).alias("empty_docs"),
-        ),
-        obs,
-    )
+    aggs = [
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(spans_sz).alias("spans"),
+        F.sum(F.when(spans_sz == 0, 1).otherwise(0)).alias("empty_docs"),
+    ]
+    if "status" in df.columns:
+        # never-fail contract: invalid docs surface as status rows, and
+        # the run's metrics count them (reference's per-engine error
+        # counters, base_engine.py:114-132)
+        aggs.append(
+            F.sum(F.when(~F.col("status.ok"), 1).otherwise(0)).alias("error_docs")
+        )
+    return df.observe(obs, *aggs), obs
 
 
 def partition_stats(df: DataFrame) -> DataFrame:

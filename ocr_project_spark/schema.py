@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -20,19 +21,24 @@ from pyspark.sql.types import (
 # Input span element: one interleaved unit of a document.
 # Analog of TextRegion (/root/reference/src/advanced_ocr/types.py:139-166):
 # kind <-> text_type, offset <-> reading_order/bbox, media_ref <-> image ref.
+# kind/offset are nullable at the schema level: malformed spans are
+# detected by the never-fail status contract (doc_status_expr), not
+# rejected by schema enforcement at ingest.
 SPAN = StructType(
     [
-        StructField("kind", StringType(), False),       # "text" | "media"
+        StructField("kind", StringType(), True),        # "text" | "media"
         StructField("text", StringType(), True),
         StructField("media_ref", StringType(), True),   # "" for text spans
-        StructField("offset", IntegerType(), False),    # document order
+        StructField("offset", IntegerType(), True),     # document order
     ]
 )
 
-# Authoritative input table (BASELINE.json input_hint).
+# Authoritative input table (BASELINE.json input_hint).  doc_id is
+# nullable: invalid rows are handled by the never-fail status contract
+# (operators/extract.doc_status_expr), not schema enforcement.
 DOCUMENTS_SPANS = StructType(
     [
-        StructField("doc_id", StringType(), False),
+        StructField("doc_id", StringType(), True),
         StructField("spans", ArrayType(SPAN), True),
     ]
 )
@@ -48,10 +54,20 @@ OUT_SPAN = StructType(
     ]
 )
 
+# Per-doc never-fail status (reference pipeline.py:286-309: per-item
+# errors become error results, a batch never dies).
+STATUS = StructType(
+    [
+        StructField("ok", BooleanType(), False),
+        StructField("reason", StringType(), True),
+    ]
+)
+
 EXTRACTED = StructType(
     [
-        StructField("doc_id", StringType(), False),
+        StructField("doc_id", StringType(), True),
         StructField("spans", ArrayType(OUT_SPAN), True),
+        StructField("status", STATUS, False),
     ]
 )
 

@@ -40,7 +40,8 @@ CREATE TABLE IF NOT EXISTS {name} (
 EXTRACTED_DDL = """
 CREATE TABLE IF NOT EXISTS {name} (
   doc_id STRING,
-  spans ARRAY<STRUCT<kind: STRING, text: STRING, media_ref: STRING, order: INT>>
+  spans ARRAY<STRUCT<kind: STRING, text: STRING, media_ref: STRING, order: INT>>,
+  status STRUCT<ok: BOOLEAN, reason: STRING>
 ) USING parquet CLUSTERED BY (doc_id) INTO {n} BUCKETS LOCATION '{loc}'
 """
 
