@@ -133,6 +133,17 @@ def main() -> None:
         dtp = min(dtp, time.perf_counter() - t0)
     timings["extract_pipeline_pandas_udf"] = round(dtp, 3)
 
+    # the zero-copy mapInArrow engine path: python kernel without the
+    # Arrow->pandas nested-dict conversion tax
+    from ocr_project_spark.operators.extract_arrow import extract_arrow_engine
+
+    dta = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _noop_sink(extract_arrow_engine(docs, cands))
+        dta = min(dta, time.perf_counter() - t0)
+    timings["extract_pipeline_arrow_udf"] = round(dta, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
