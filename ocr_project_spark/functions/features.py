@@ -73,3 +73,19 @@ def strategy_expr(score: Column) -> Column:
         .when(score >= 0.4, "balanced")
         .otherwise("enhanced")
     )
+
+
+def improvement_expr(spans_before: Column, spans_after: Column) -> Column:
+    """K7 improvement measurement (image_enhancer.py:297-334: the
+    reference re-runs its quality metrics on the enhanced image and
+    reports the delta).  Span-domain analog: quality score of the
+    normalized output spans minus the score of the pre-normalization
+    spans — a pure-expression lineage column, no extra pass over data.
+    """
+    before = quality_score_expr(doc_features_expr(spans_before))
+    after = quality_score_expr(doc_features_expr(spans_after))
+    return F.struct(
+        F.round(before, 6).alias("q_before"),
+        F.round(after, 6).alias("q_after"),
+        F.round(after - before, 6).alias("q_delta"),
+    )

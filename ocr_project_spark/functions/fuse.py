@@ -43,9 +43,21 @@ def valid_expr(text: Column, conf: Column) -> Column:
     )
 
 
-def fuse_media_candidates(cands: DataFrame) -> DataFrame:
+def fuse_media_candidates(
+    cands: DataFrame, early_termination: float | None = None
+) -> DataFrame:
     """(doc_id, offset, engine, text, confidence) ->
-    (doc_id, offset, text, confidence, method, n_consensus)."""
+    (doc_id, offset, text, confidence, method, n_consensus).
+
+    ``early_termination`` mirrors the reference's high-confidence
+    short-circuit (types.py:181-182 ``is_high_confidence`` at 0.95;
+    examples/advanced_usage.py:200-220 stops the engine cascade once a
+    result clears it): a span whose best valid candidate reaches the
+    threshold resolves to that candidate as-is (method
+    'early_termination', no consensus math) — the conditional is
+    evaluated BEFORE the Jaccard expression, so the expensive word-set
+    similarity never runs for early spans.  None disables the gate.
+    """
     valid = valid_expr(F.col("text"), F.col("confidence"))
 
     # Total order: valid first, then conf desc, then priority asc, then
@@ -78,11 +90,21 @@ def fuse_media_candidates(cands: DataFrame) -> DataFrame:
         F.first("text").over(wall).alias("best_text"),
         F.first("confidence").over(wall).alias("best_conf"),
         F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).over(wall).alias("n_valid"),
+        F.max(F.when(F.col("is_valid"), F.col("confidence")))
+        .over(wall)
+        .alias("max_valid_conf"),
+    )
+    early = (
+        F.col("max_valid_conf") >= F.lit(float(early_termination))
+        if early_termination is not None
+        else F.lit(False)
     )
 
     # A non-best valid row joins the consensus iff high-confidence and
-    # word-similar to the winner (engine_manager.py:272-279).
-    agrees = (
+    # word-similar to the winner (engine_manager.py:272-279).  The
+    # early gate comes first so the Jaccard never evaluates for spans
+    # that short-circuit.
+    agrees = F.when(early, F.lit(False)).otherwise(
         (F.col("rn") > 1)
         & F.col("is_valid")
         & (F.col("confidence") > F.lit(rules.CONSENSUS_CONF))
@@ -112,10 +134,12 @@ def fuse_media_candidates(cands: DataFrame) -> DataFrame:
         "doc_id",
         "offset",
         F.col("best_text").alias("text"),
-        F.when(has_consensus, boosted)
+        F.when(early, F.col("best_conf"))
+        .when(has_consensus, boosted)
         .otherwise(F.col("best_conf"))
         .alias("confidence"),
-        F.when(F.col("n_valid") == 0, F.lit("fallback_best_of_failed"))
+        F.when(early, F.lit("early_termination"))
+        .when(F.col("n_valid") == 0, F.lit("fallback_best_of_failed"))
         .when(F.col("n_valid") == 1, F.lit("single_valid"))
         .when(
             has_consensus,
@@ -123,8 +147,61 @@ def fuse_media_candidates(cands: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit("best_single"))
         .alias("method"),
-        F.when(F.col("n_valid") == 0, F.lit(0))
+        F.when(early, F.lit(1))
+        .when(F.col("n_valid") == 0, F.lit(0))
         .when(has_consensus | (F.col("n_valid") >= 1), n_consensus)
         .cast("int")
         .alias("n_consensus"),
     )
+
+
+def fuse_media_candidates_routed(
+    cands: DataFrame, early_termination: float = 0.95
+) -> DataFrame:
+    """Early-termination as an explicit filter-split -> union plan.
+
+    Stage 1 (cheap): ONE hash aggregate per span — min_by under the
+    total fusion order picks the winner, max(valid conf) computes the
+    route.  No window sort, no Jaccard.
+    Stage 2: spans whose best valid candidate clears the threshold emit
+    directly from the aggregate (method 'early_termination'); the rest
+    are semi-joined back and run the full consensus machinery.
+
+    Output is row-identical to
+    ``fuse_media_candidates(cands, early_termination=...)`` (pinned by
+    tests); the split shape is the one to prefer when most of the
+    corpus short-circuits — the heavy window+Jaccard stage then runs
+    over a small residue, and both shuffles hash the same (doc_id,
+    offset) key so no new skew appears.
+    """
+    valid = valid_expr(F.col("text"), F.col("confidence"))
+    # ascending-comparable total order (numeric fields negated for
+    # desc): min_by == the window's rn=1 row
+    ord_key = F.struct(
+        F.when(valid, 0).otherwise(1).alias("k_invalid"),
+        (-F.col("confidence")).alias("k_nconf"),
+        priority_expr(F.col("engine")).alias("k_priority"),
+        F.col("engine").alias("k_engine"),
+        F.coalesce(F.col("text"), F.lit("")).alias("k_text"),
+    )
+    agg = cands.groupBy("doc_id", "offset").agg(
+        F.min_by(
+            F.struct(F.col("text").alias("t"), F.col("confidence").alias("c")),
+            ord_key,
+        ).alias("win"),
+        F.max(F.when(valid, F.col("confidence"))).alias("mvc"),
+    )
+    is_early = F.col("mvc") >= F.lit(float(early_termination))
+    early_out = agg.where(is_early).select(
+        "doc_id",
+        "offset",
+        F.col("win.t").alias("text"),
+        F.col("win.c").alias("confidence"),
+        F.lit("early_termination").alias("method"),
+        F.lit(1).cast("int").alias("n_consensus"),
+    )
+    rest_keys = agg.where(~F.coalesce(is_early, F.lit(False))).select(
+        "doc_id", "offset"
+    )
+    rest = cands.join(rest_keys, ["doc_id", "offset"], "left_semi")
+    return fuse_media_candidates(rest).unionByName(early_out)

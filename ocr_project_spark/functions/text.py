@@ -132,3 +132,26 @@ def fingerprint(text: Column) -> Column:
         )
         % F.lit(2147483647),
     )
+
+
+def distinct_token_count(df, text_col: str = "text", approximate: bool = True,
+                         rsd: float = 0.02):
+    """Corpus-wide distinct-token count (A-tier vocabulary statistic).
+
+    ``approximate=True`` (the default, and the only sane choice at
+    corpus scale) uses HyperLogLog++ (approx_count_distinct): a
+    fixed-size sketch per partition merged on the driver — no shuffle
+    of the token universe.  ``approximate=False`` is the exact
+    countDistinct used as the small-SF oracle: it shuffles EVERY
+    distinct token to a single aggregation and must not be run on a
+    10^12-doc corpus (SURVEY.md section 2.4).
+    """
+    from pyspark.sql import functions as _F
+
+    toks = df.select(_F.explode(word_tokens(_F.col(text_col))).alias("tok"))
+    agg = (
+        _F.approx_count_distinct("tok", rsd=rsd)
+        if approximate
+        else _F.countDistinct("tok")
+    )
+    return toks.agg(agg.alias("n_distinct_tokens"))

@@ -257,6 +257,105 @@ FROM grouped
 
 
 # --------------------------------------------------------------------
+# 2b. Confidence early-termination routing (reference types.py:181-182
+#     is_high_confidence + advanced_usage.py:200-220 engine-cascade
+#     stop): spans whose best valid candidate clears the threshold
+#     bypass the consensus window+Jaccard via filter-split -> union.
+#     The query reports per-route counts — the evidence the split
+#     actually routes — against a full DuckDB re-derivation.
+# --------------------------------------------------------------------
+def q_fusion_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.functions.fuse import fuse_media_candidates_routed
+
+    fused = fuse_media_candidates_routed(
+        _derived_candidates(spark, sf_dir), early_termination=0.7
+    )
+    return fused.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.round(F.avg("confidence"), 3).alias("avg_conf"),
+    )
+
+
+_SQL_FUSION_ROUTING = """
+WITH base AS (
+  SELECT doc_id,
+         array_to_string(list_slice({toks}, 1, 10), ' ')  AS head,
+         array_to_string(list_slice({toks}, 11, 20), ' ') AS tail
+  FROM documents
+), cands AS (
+  SELECT doc_id, 'rec_a' AS engine, head AS text,
+         ((doc_id*37+11) % 80 + 15) / 100.0 AS confidence FROM base
+  UNION ALL
+  SELECT doc_id, 'rec_b', head, ((doc_id*53+7) % 80 + 15) / 100.0 FROM base
+  UNION ALL
+  SELECT doc_id, 'rec_c', tail, ((doc_id*29+3) % 80 + 15) / 100.0 FROM base
+), keyed AS (
+  SELECT *,
+    (trim(coalesce(text,'')) <> '' AND confidence > 0.1) AS is_valid,
+    CASE engine WHEN 'rec_a' THEN 0 WHEN 'rec_b' THEN 1
+                WHEN 'rec_c' THEN 2 WHEN 'rec_d' THEN 3 ELSE 99 END AS prio
+  FROM cands
+), ranked AS (
+  SELECT *,
+    row_number()            OVER w AS rn,
+    first_value(text)       OVER w AS best_text,
+    first_value(confidence) OVER w AS best_conf,
+    sum(CASE WHEN is_valid THEN 1 ELSE 0 END) OVER w2 AS n_valid,
+    max(CASE WHEN is_valid THEN confidence END) OVER w2 AS mvc
+  FROM keyed
+  WINDOW w AS (PARTITION BY doc_id
+               ORDER BY (CASE WHEN is_valid THEN 0 ELSE 1 END),
+                        confidence DESC, prio, engine, coalesce(text,'')
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+         w2 AS (PARTITION BY doc_id)
+), jac AS (
+  SELECT *,
+    CASE WHEN coalesce(mvc, 0) >= 0.7 THEN 0.0
+         WHEN coalesce(best_text,'') = '' OR coalesce(text,'') = '' THEN 0.0
+         WHEN len(list_distinct({btoks})) = 0 OR len(list_distinct({ttoks})) = 0
+           THEN CASE WHEN trim(best_text) = trim(text) THEN 1.0 ELSE 0.0 END
+         ELSE len(list_intersect(list_distinct({btoks}), list_distinct({ttoks}))) * 1.0
+              / len(list_distinct(list_concat(list_distinct({btoks}), list_distinct({ttoks}))))
+    END AS sim
+  FROM ranked
+), flagged AS (
+  SELECT *,
+    (coalesce(mvc, 0) < 0.7
+     AND rn > 1 AND is_valid AND confidence > 0.7 AND sim > 0.8) AS agrees
+  FROM jac
+), grouped AS (
+  SELECT doc_id,
+    max(CASE WHEN rn = 1 THEN best_text END)  AS best_text,
+    max(CASE WHEN rn = 1 THEN best_conf END)  AS best_conf,
+    max(n_valid)                              AS n_valid,
+    max(mvc)                                  AS mvc,
+    sum(CASE WHEN agrees THEN 1 ELSE 0 END)   AS n_agree,
+    sum(CASE WHEN agrees THEN confidence ELSE 0.0 END) AS agree_conf_sum
+  FROM flagged GROUP BY doc_id
+), final AS (
+  SELECT doc_id,
+    CASE WHEN coalesce(mvc, 0) >= 0.7 THEN best_conf
+         WHEN n_valid >= 2 AND n_agree > 0
+           THEN least(1.0, (best_conf + agree_conf_sum) / (1 + n_agree)
+                           + least(0.05, 0.01 * (1 + n_agree)))
+         ELSE best_conf END AS confidence,
+    CASE WHEN coalesce(mvc, 0) >= 0.7 THEN 'early_termination'
+         WHEN n_valid = 0 THEN 'fallback_best_of_failed'
+         WHEN n_valid = 1 THEN 'single_valid'
+         WHEN n_agree > 0 THEN 'consensus_' || (1 + n_agree) || '_engines'
+         ELSE 'best_single' END AS method
+  FROM grouped
+)
+SELECT method, count(*) AS n_spans, round(avg(confidence), 3) AS avg_conf
+FROM final GROUP BY method
+""".format(
+    toks=_WS_TOKS.format(c="text"),
+    btoks=_WORD_TOKS.format(c="best_text"),
+    ttoks=_WORD_TOKS.format(c="text"),
+)
+
+
+# --------------------------------------------------------------------
 # 3-5. Window family: sessionization (W3), reading order (W2), gaps (W4)
 # --------------------------------------------------------------------
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,6 +808,74 @@ FROM s
 """.format(toks=_WS_TOKS.format(c="text"))
 
 
+# --------------------------------------------------------------------
+# 21b. K7 improvement measurement (image_enhancer.py:297-334): quality
+#      score re-computed after the enhancement tier, delta as lineage.
+#      Dirty text is derived deterministically (an embedded control
+#      char inside a token) so the balanced tier measurably improves
+#      the alnum feature.
+# --------------------------------------------------------------------
+def q_quality_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.functions.cleanup import normalize_balanced
+
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    dirty = F.concat(F.col("text"), F.lit(" q\x07z \x07\x07 w!"))
+    before = TX.quality_score(dirty)
+    after = TX.quality_score(normalize_balanced(dirty))
+    return d.select(
+        "doc_id",
+        F.round(before, 3).alias("q_before"),
+        F.round(after, 3).alias("q_after"),
+        F.round(after - before, 3).alias("q_delta"),
+    )
+
+
+_SQL_QUALITY_DELTA = """
+WITH t AS (
+  SELECT doc_id,
+         text || ' q' || chr(7) || 'z ' || chr(7) || chr(7) || ' w!' AS dirty
+  FROM documents WHERE doc_id < 300
+), n AS (
+  SELECT doc_id, dirty,
+    regexp_replace(regexp_replace(
+      regexp_replace(
+        regexp_replace(dirty, '[\\x00-\\x08\\x0b-\\x1f]', '', 'g'),
+        '\\n{{3,}}', chr(10) || chr(10), 'g'),
+      '[ \\t]+', ' ', 'g'),
+      '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g') AS clean
+  FROM t
+), f AS (
+  SELECT doc_id,
+         {q_dirty} AS q_before,
+         {q_clean} AS q_after
+  FROM n
+)
+SELECT doc_id, round(q_before, 3) AS q_before, round(q_after, 3) AS q_after,
+       round(q_after - q_before, 3) AS q_delta
+FROM f
+"""
+
+
+def _quality_sql(col: str) -> str:
+    toks = _WS_TOKS.format(c=col)
+    return (
+        f"(0.30 * least(1.0, len({toks}) / 100.0)"
+        f" + 0.25 * (CASE WHEN len({toks}) > 0 THEN"
+        f"   len(list_distinct({toks})) * 1.0 / len({toks}) ELSE 0.0 END)"
+        f" + 0.25 * (CASE WHEN len({toks}) > 0 THEN"
+        f"   len(list_filter({toks}, x -> regexp_full_match(x, '[A-Za-z0-9]+')))"
+        f"   * 1.0 / len({toks}) ELSE 0.0 END)"
+        f" + 0.20 * (1.0 - CASE WHEN len({toks}) > 0 THEN"
+        f"   len(list_filter({toks}, x -> x = 'a')) * 1.0 / len({toks})"
+        f"   ELSE 0.0 END))"
+    )
+
+
+_SQL_QUALITY_DELTA = _SQL_QUALITY_DELTA.format(
+    q_dirty=_quality_sql("dirty"), q_clean=_quality_sql("clean")
+)
+
+
 def q_strategy_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return (
@@ -919,8 +1086,12 @@ def _simhash_bit_sql(b: int) -> str:
 
 
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # compact 16-bit oracle tier; the library default (64-bit) is
+    # verified end-to-end by simhash64_pairs below
     d = T(spark, sf_dir, "documents")
-    return d.select("doc_id", DD.simhash_signature(F.col("text")).alias("sig"))
+    return d.select(
+        "doc_id", DD.simhash_signature(F.col("text"), bits=16).alias("sig")
+    )
 
 
 _SQL_SIMHASH_SIGS = """
@@ -936,7 +1107,7 @@ SELECT doc_id, concat({bits}) AS sig FROM h
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(
         T(spark, sf_dir, "documents").where(F.col("doc_id") < 1000),
-        bands=4, max_hamming=1,
+        bits=16, bands=4, max_hamming=1,
     )
 
 
@@ -957,6 +1128,50 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= 1
         f"CASE WHEN substring(a.sig, {i + 1}, 1) <> substring(b.sig, {i + 1}, 1) "
         "THEN 1 ELSE 0 END"
         for i in range(16)
+    ),
+)
+
+
+# --------------------------------------------------------------------
+# 31b. 64-bit SimHash banded pairs — the library DEFAULT configuration
+#      (64-bit signature, 8-bit bands: 256 band values, so the bucket
+#      equi-join keeps corpus-scale fan-out where 16-bit/4-bit bands
+#      degenerate toward a cross join).  Brute-force DuckDB oracle:
+#      with max_hamming <= bands-1 the banded join is pigeonhole-exact.
+# --------------------------------------------------------------------
+def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(
+        T(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    )
+
+
+def _simhash64_bit_sql(b: int) -> str:
+    hs = f"hs{b // 32}"
+    return (
+        f"CASE WHEN coalesce(list_sum(list_transform({hs}, h -> "
+        f"CASE WHEN substring(h, {b % 32 + 1}, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0 "
+        "THEN '1' ELSE '0' END"
+    )
+
+
+_SQL_SIMHASH64_PAIRS = """
+WITH t AS (SELECT doc_id, list_distinct({wd}) AS toks FROM documents WHERE doc_id < 600),
+h AS (SELECT doc_id, list_transform(toks, x -> md5(x)) AS hs0,
+             list_transform(toks, x -> md5('1|' || x)) AS hs1 FROM t),
+s AS (SELECT doc_id, concat({bits}) AS sig FROM h),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ({ham}) AS hamming
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+""".format(
+    wd=_WORD_TOKS.format(c="text"),
+    bits=", ".join(_simhash64_bit_sql(b) for b in range(64)),
+    ham=" + ".join(
+        f"CASE WHEN substring(a.sig, {i + 1}, 1) <> substring(b.sig, {i + 1}, 1) "
+        "THEN 1 ELSE 0 END"
+        for i in range(64)
     ),
 )
 
@@ -1472,6 +1687,7 @@ FROM t GROUP BY 1, 2
 SPARK_QUERIES = {
     "extract_clean_spans": q_extract_clean_spans,
     "fuse_candidates": q_fuse_candidates,
+    "fusion_routing": q_fusion_routing,
     "session_stats": q_session_stats,
     "reading_order": q_reading_order,
     "gap_class": q_gap_class,
@@ -1490,6 +1706,7 @@ SPARK_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "quality_scores": q_quality_scores,
+    "quality_delta": q_quality_delta,
     "strategy_routing": q_strategy_routing,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1501,6 +1718,7 @@ SPARK_QUERIES = {
     "xy_cut": q_xy_cut,
     "simhash_sigs": q_simhash_sigs,
     "simhash_pairs": q_simhash_pairs,
+    "simhash64_pairs": q_simhash64_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "len_percentiles": q_len_percentiles,
     "bigram_topk": q_bigram_topk,
@@ -1524,6 +1742,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "extract_clean_spans": _SQL_EXTRACT,
     "fuse_candidates": _SQL_FUSE,
+    "fusion_routing": _SQL_FUSION_ROUTING,
     "session_stats": _SQL_SESSION,
     "reading_order": _SQL_READING_ORDER,
     "gap_class": _SQL_GAP_CLASS,
@@ -1542,6 +1761,7 @@ ORACLE_SQL = {
     "cosine_topk": _SQL_COSINE_TOPK,
     "ann_lsh_topk": _SQL_ANN_LSH,
     "quality_scores": _SQL_QUALITY,
+    "quality_delta": _SQL_QUALITY_DELTA,
     "strategy_routing": _SQL_STRATEGY,
     "lang_id": _SQL_LANG,
     "fingerprint": _SQL_FINGERPRINT,
@@ -1553,6 +1773,7 @@ ORACLE_SQL = {
     "xy_cut": _SQL_XY_CUT,
     "simhash_sigs": _SQL_SIMHASH_SIGS,
     "simhash_pairs": _SQL_SIMHASH_PAIRS,
+    "simhash64_pairs": _SQL_SIMHASH64_PAIRS,
     "embedding_near_dup": _SQL_EMB_NEAR_DUP,
     "len_percentiles": _SQL_LEN_PCT,
     "bigram_topk": _SQL_BIGRAM,

@@ -150,34 +150,55 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------- simhash
-def simhash_signature(text: Column, bits: int = 16) -> Column:
+def simhash_signature(text: Column, bits: int = 64) -> Column:
     """SimHash bit-string over the distinct word-token set.
 
-    Per bit b: each token votes +1/-1 by whether hex digit b of
-    md5(token) is >= '8' (== high nibble bit, portable to the DuckDB
-    oracle via plain string comparison); the bit is 1 iff the vote sum
-    is >= 0.  Near-identical token sets flip few votes, so Hamming
-    distance tracks set difference — the classic SimHash property.
+    Per bit b: each token votes +1/-1 by whether hex digit (b % 32) of
+    md5(key_b || token) is >= '8' (== high nibble bit, portable to the
+    DuckDB oracle via plain string comparison); the bit is 1 iff the
+    vote sum is >= 0.  Near-identical token sets flip few votes, so
+    Hamming distance tracks set difference — the classic SimHash
+    property.
+
+    One md5 yields 32 portable high-nibble bits, so ``bits`` > 32 uses
+    ceil(bits/32) independent keyed hashes per token (key 0 = bare
+    md5(token), preserving the 16-bit oracle tier byte-for-byte; key k
+    = md5("k|" || token)).  Default is 64: 16-bit signatures have
+    4-bit bands whose 16 distinct values degenerate the band equi-join
+    toward a cross join beyond ~10^5 docs; 64-bit/8-bit bands give 256
+    values per band and corpus-scale fan-out (see
+    tests/test_dedup_clusters.py::test_simhash64_band_fanout_bounded).
     """
     toks = F.array_distinct(word_tokens(text))
-    hashes = F.transform(toks, lambda t: F.md5(t))
+    n_keys = -(-bits // 32)
 
-    def vote_fn(b: int):
+    # NB: pyspark HOF lambdas must be exactly unary (a second param —
+    # even a default — is treated as the element index), so the key is
+    # captured via a closure factory, not a default arg.
+    def _keyed(k: int):
+        if k == 0:
+            return lambda t: F.md5(t)
+        prefix = f"{k}|"
+        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+    hash_sets = [F.transform(toks, _keyed(k)) for k in range(n_keys)]
+
+    def vote_fn(digit: int):
         def fn(acc, h):
             return acc + F.when(
-                F.substring(h, b + 1, 1) >= F.lit("8"), 1
+                F.substring(h, digit + 1, 1) >= F.lit("8"), 1
             ).otherwise(-1)
 
         return fn
 
     bit_cols = []
     for b in range(bits):
-        votes = F.aggregate(hashes, F.lit(0), vote_fn(b))
+        votes = F.aggregate(hash_sets[b // 32], F.lit(0), vote_fn(b % 32))
         bit_cols.append(F.when(votes >= 0, "1").otherwise("0"))
     return F.concat(*bit_cols)
 
 
-def hamming_expr(a: Column, b: Column, bits: int = 16) -> Column:
+def hamming_expr(a: Column, b: Column, bits: int = 64) -> Column:
     terms = [
         F.when(F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1).otherwise(0)
         for i in range(bits)
@@ -192,8 +213,8 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
-    bands: int = 4,
+    bits: int = 64,
+    bands: int = 8,
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.

@@ -24,8 +24,16 @@ from collections import defaultdict
 from ocr_project_spark import rules
 
 
-def fuse_candidates(cands: list[dict]) -> dict | None:
-    """Fuse one media span's candidate rows -> winner dict or None."""
+def fuse_candidates(
+    cands: list[dict], early_termination: float | None = None
+) -> dict | None:
+    """Fuse one media span's candidate rows -> winner dict or None.
+
+    ``early_termination`` mirrors the reference's high-confidence
+    short-circuit (types.py:181-182, advanced_usage.py:200-220): if the
+    best valid candidate clears the threshold it wins as-is, skipping
+    the consensus stage entirely.
+    """
     if not cands:
         return None
 
@@ -42,6 +50,18 @@ def fuse_candidates(cands: list[dict]) -> dict | None:
         for c in cands
         if (c["text"] or "").strip() and c["confidence"] > rules.VALID_CONF
     ]
+    if (
+        early_termination is not None
+        and valid
+        and max(c["confidence"] for c in valid) >= early_termination
+    ):
+        best = min(valid, key=sort_key)
+        return dict(
+            text=best["text"],
+            confidence=best["confidence"],
+            method="early_termination",
+            n_consensus=1,
+        )
     if not valid:
         best = min(cands, key=sort_key)
         return dict(

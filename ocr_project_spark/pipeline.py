@@ -47,17 +47,36 @@ def run_pipeline(
     docs: DataFrame,
     candidates: DataFrame | None = None,
     normalize: str | None = None,
+    measure_improvement: bool = False,
 ) -> DataFrame:
     """Full composed pipeline.  ``normalize`` in {None, 'minimal',
     'balanced', 'enhanced', 'auto'} selects the K4-K6 output-cleanup
     tier; 'auto' routes each document through the tier its K1-K3
     quality score recommends (features on RAW input spans, the way the
-    reference analyzes the raw image before enhancement)."""
-    if normalize is None:
-        return extract(docs, candidates)
-    if normalize == "auto":
-        from ocr_project_spark.functions import features as FT
+    reference analyzes the raw image before enhancement).
 
+    ``measure_improvement`` adds a K7 lineage column ``improvement``
+    struct(q_before, q_after, q_delta): the quality score of the
+    extracted spans before vs after normalization
+    (functions/features.improvement_expr; reference
+    image_enhancer.py:297-334).  Requires a normalize tier.
+    """
+    if normalize is None:
+        if measure_improvement:
+            raise ValueError("measure_improvement requires a normalize tier")
+        return extract(docs, candidates)
+
+    from ocr_project_spark.functions import features as FT
+
+    def _finish(out: DataFrame, normalized) -> DataFrame:
+        cols = ["doc_id", normalized.alias("spans"), "status"]
+        if measure_improvement:
+            cols.append(
+                FT.improvement_expr(F.col("spans"), normalized).alias("improvement")
+            )
+        return out.select(*cols)
+
+    if normalize == "auto":
         staged = docs.withColumn(
             "_strategy",
             FT.strategy_expr(FT.quality_score_expr(FT.doc_features_expr(F.col("spans")))),
@@ -72,10 +91,8 @@ def run_pipeline(
                 s["order"].alias("order"),
             ),
         )
-        return out.select("doc_id", normalized.alias("spans"))
+        return _finish(out, normalized)
     if normalize not in _TIERS:
         raise ValueError(f"unknown normalize tier: {normalize!r}")
     out = extract(docs, candidates)
-    return out.select(
-        "doc_id", _normalize_spans(F.col("spans"), normalize).alias("spans")
-    )
+    return _finish(out, _normalize_spans(F.col("spans"), normalize))

@@ -72,3 +72,48 @@ def test_clusters_on_simhash_pairs(spark, corpus_dfs):
         return  # corpus produced no near-dups at this threshold
     got = {r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
     assert canon(got) == canon(union_find(rows))
+
+
+def test_simhash64_band_fanout_bounded(spark):
+    """The 64-bit/8-band default must keep band buckets corpus-scale:
+    with 256 values per band, bucket sizes stay near n/256 — unlike the
+    16-bit/4-bit-band demo tier whose 16 values per band degenerate the
+    bucket equi-join toward a cross join (the round-1 scale flaw)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.dedup import simhash_signature
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    n = 2000
+    docs = [(str(i), " ".join(rnd.sample(vocab, 30))) for i in range(n)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    bits, bands = 64, 8
+    rows = bits // bands
+    sig = df.select(simhash_signature(F.col("text"), bits).alias("sig"))
+    banded = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(F.col("sig"), b * rows + 1, rows).alias("bb"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("x")
+    ).select("x.band", "x.bb")
+    sizes = [r["c"] for r in banded.groupBy("band", "bb").agg(
+        F.count(F.lit(1)).alias("c")).collect()]
+    # candidate work within a bucket is ~size^2; bound the max bucket
+    # far below anything cross-join-shaped (n/256 expected ~8)
+    assert max(sizes) <= n * 0.05, max(sizes)
+    # expected candidate fraction ~ bands/2^rows = 8/256 ~ 3% of n^2/2
+    # (vs >= 25% for the 16-bit/4-bit-band tier); allow 2x for the
+    # center-bias of simhash bit distributions
+    cand_pairs = sum(s * (s - 1) // 2 for s in sizes)
+    assert cand_pairs < (bands / 2**rows) * (n * n / 2) * 2, cand_pairs

@@ -1,0 +1,66 @@
+"""Confidence early-termination (reference types.py:181-182,
+advanced_usage.py:200-220): the filter-split -> union plan, the
+single-pass conditional plan, and the python mirror must agree
+row-for-row; with the gate off, behavior is byte-identical to plain
+fusion."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ocr_project_spark import oracle
+from ocr_project_spark.functions.fuse import (
+    fuse_media_candidates,
+    fuse_media_candidates_routed,
+)
+
+THRESH = 0.5  # fixture confidences straddle this: both routes populate
+
+
+def to_dict(df):
+    return {
+        (r["doc_id"], r["offset"]): (
+            r["text"],
+            round(r["confidence"], 9),
+            r["method"],
+            r["n_consensus"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_routed_equals_single_pass_gate(corpus_dfs):
+    _, cands_df = corpus_dfs
+    routed = to_dict(fuse_media_candidates_routed(cands_df, THRESH))
+    gated = to_dict(fuse_media_candidates(cands_df, early_termination=THRESH))
+    assert routed == gated
+    methods = {v[2] for v in routed.values()}
+    assert "early_termination" in methods      # the split actually routes
+    assert methods - {"early_termination"}     # ...and the full path runs too
+
+
+def test_gate_off_is_plain_fusion(corpus_dfs):
+    _, cands_df = corpus_dfs
+    plain = to_dict(fuse_media_candidates(cands_df))
+    gated = to_dict(fuse_media_candidates(cands_df, early_termination=None))
+    assert plain == gated
+    assert "early_termination" not in {v[2] for v in plain.values()}
+
+
+def test_matches_python_mirror(corpus, corpus_dfs):
+    _, cands = corpus
+    _, cands_df = corpus_dfs
+    by_key = defaultdict(list)
+    for c in cands:
+        by_key[(c["doc_id"], c["offset"])].append(c)
+    want = {}
+    for key, group in by_key.items():
+        f = oracle.fuse_candidates(group, early_termination=THRESH)
+        want[key] = (
+            f["text"],
+            round(f["confidence"], 9),
+            f["method"],
+            f["n_consensus"],
+        )
+    got = to_dict(fuse_media_candidates_routed(cands_df, THRESH))
+    assert got == want

@@ -11,7 +11,10 @@ from ocr_project_spark import oracle, schema
 from ocr_project_spark.pipeline import run_pipeline
 from ocr_project_spark.sources.generate import generate_corpus
 
-DIRT = "  tail\t\tpart \n\n\n\nend!!!!\x07​ok"
+# the standalone "\x07" token vanishes entirely under balanced/enhanced
+# normalization (control-char strip + whitespace collapse), so the K7
+# token-count/diversity features — and the quality delta — measurably move
+DIRT = "  tail\t\tpart \n\n\n\nend!!!!\x07​ok \x07 w"
 
 
 @pytest.fixture(scope="module")
@@ -83,3 +86,41 @@ def test_auto_routing_exercises_multiple_tiers(dirty_corpus):
     dirty_docs, *_ = dirty_corpus
     tiers = {rules.doc_strategy(d["spans"] or []) for d in dirty_docs}
     assert len(tiers) >= 2, tiers  # routing must actually branch
+
+
+def test_improvement_lineage_column(dirty_corpus):
+    """K7 improvement measurement: q_after - q_before matches the
+    python mirror (rules.doc_quality_score over the spans before vs
+    after normalization), and dirt removal improves quality."""
+    from ocr_project_spark import rules
+
+    dirty_docs, cands, docs_df, cands_df = dirty_corpus
+    out = run_pipeline(
+        docs_df, cands_df, normalize="enhanced", measure_improvement=True
+    ).collect()
+    assert out, "empty pipeline output"
+    raw = {
+        k: v
+        for k, v in oracle.extract_corpus(dirty_docs, cands).items()
+    }
+    enh = oracle.extract_corpus(dirty_docs, cands, normalize="enhanced")
+
+    improved = 0
+    for r in out:
+        imp = r["improvement"]
+        q_b = rules.doc_quality_score(rules.doc_features(raw[r["doc_id"]]))
+        q_a = rules.doc_quality_score(rules.doc_features(enh[r["doc_id"]]))
+        assert abs(imp["q_before"] - q_b) < 1e-6, r["doc_id"]
+        assert abs(imp["q_after"] - q_a) < 1e-6, r["doc_id"]
+        assert abs(imp["q_delta"] - (q_a - q_b)) < 1e-6
+        improved += imp["q_delta"] != 0
+    # the measurement is non-trivial: normalization measurably moves
+    # the score somewhere (sign depends on which features the dirt
+    # inflated — the reference's K7 reports the delta either way)
+    assert improved > 0
+
+
+def test_improvement_requires_tier(dirty_corpus):
+    *_, docs_df, cands_df = dirty_corpus
+    with pytest.raises(ValueError, match="measure_improvement"):
+        run_pipeline(docs_df, cands_df, measure_improvement=True)
