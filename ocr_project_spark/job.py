@@ -25,20 +25,39 @@ import sys
 import time
 
 
-def build_parser() -> argparse.ArgumentParser:
+def build_parser(cfg=None) -> argparse.ArgumentParser:
+    """CLI parser; when a layered Config (ocr_project_spark/config.py)
+    is given, its values become the flag DEFAULTS — so precedence is
+    engine defaults < default.yaml < engines.yaml < --config file <
+    --set overrides < explicit CLI flags, mirroring the reference's
+    config fallback chain (utils/config.py:63-185)."""
+
+    def c(dotted, fallback):
+        return cfg.get(dotted, fallback) if cfg is not None else fallback
+
     p = argparse.ArgumentParser(description="ocr_project_spark extraction job")
+    p.add_argument("--config-dir", default=None,
+                   help="directory holding default.yaml / engines.yaml layers")
+    p.add_argument("--config", default=None,
+                   help="explicit yaml/json config file (layered above --config-dir)")
+    p.add_argument("--set", action="append", dest="overrides", default=None,
+                   metavar="KEY.PATH=VALUE",
+                   help="dotted config override (highest config layer)")
     p.add_argument("--input", default=None,
                    help="documents_spans parquet path (or use --bucketed-location)")
     p.add_argument("--candidates", default=None, help="media_candidates parquet path")
     p.add_argument("--output", required=True, help="output root (tables written under it)")
     p.add_argument("--run-id", required=True)
-    p.add_argument("--buckets", type=int, default=64)
-    p.add_argument("--bucket-batch-size", type=int, default=8)
+    p.add_argument("--buckets", type=int, default=c("partitioning.n_buckets", 64))
+    p.add_argument("--bucket-batch-size", type=int,
+                   default=c("partitioning.bucket_batch_size", 8))
     p.add_argument("--parallelism", type=int, default=None,
                    help="explicit repartition width; default 2x default parallelism")
     p.add_argument("--chunk-mega-docs", action="store_true",
+                   default=bool(c("extract.chunk_mega_docs", False)),
                    help="split span arrays > threshold into chunks (intra-doc parallelism)")
-    p.add_argument("--mega-span-threshold", type=int, default=256)
+    p.add_argument("--mega-span-threshold", type=int,
+                   default=c("extract.mega_span_threshold", 256))
     p.add_argument("--master", default=None, help="override master (tests)")
     p.add_argument("--no-checkpoint", action="store_true",
                    help="single-pass run without watermark commits (benchmarking)")
@@ -51,7 +70,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-candidates", action="store_true",
                    help="run fusion-less extraction (ignore the bucketed "
                         "candidates table / omit --candidates)")
-    p.add_argument("--normalize", default=None,
+    p.add_argument("--normalize", default=c("extract.normalize", None),
                    choices=["minimal", "balanced", "enhanced", "auto"],
                    help="K4-K6 output-cleanup tier; 'auto' routes per-doc "
                         "by the K1-K3 quality strategy")
@@ -59,7 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    from ocr_project_spark.config import load_config
+
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config-dir", default=None)
+    pre.add_argument("--config", default=None)
+    pre.add_argument("--set", action="append", dest="overrides", default=None)
+    pre_args, _ = pre.parse_known_args(argv)
+    cfg = load_config(pre_args.config_dir, pre_args.config, pre_args.overrides)
+
+    args = build_parser(cfg).parse_args(argv)
     if not args.input and not args.bucketed_location:
         build_parser().error("one of --input / --bucketed-location is required")
     if args.bucketed_location and args.candidates:
@@ -78,7 +106,11 @@ def main(argv: list[str] | None = None) -> int:
     from ocr_project_spark.plans import checkpoint, metrics, partitioning
     from ocr_project_spark.session import get_spark
 
-    spark = get_spark(app_name=f"ocr-extract-{args.run_id}", master=args.master)
+    spark = get_spark(
+        app_name=f"ocr-extract-{args.run_id}",
+        master=args.master,
+        extra_conf=cfg.spark_conf(),
+    )
     t0 = time.monotonic()
     if args.bucketed_location:
         # Bucketed storage IS the partitioning (hash(doc_id) at write

@@ -63,17 +63,21 @@ def salt_expr(
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
 ) -> Column:
     """0 for normal docs; a deterministic 1..salt_buckets value for
-    mega-docs so repeated/hot doc_ids fan out across partitions.
+    mega-docs so hot doc_ids fan out across partitions.
 
-    The salt re-hashes doc_id with a second seed column so two
-    mega-docs that collide under hash(doc_id) still separate under
-    hash(doc_id, salt) — and a hot doc_id *repeated* across rows is
-    spread by the per-row monotonically_increasing_id term.
+    The salt term is derived from ROW CONTENT (xxhash64 of doc_id and
+    the size column — a different hash family than the Murmur3 used for
+    placement), so two mega-docs that collide under hash(doc_id) still
+    separate under hash(doc_id, salt), and the value is stable under
+    task retry/replay (monotonically_increasing_id would not be: it
+    depends on runtime row order, so a retried task could re-salt rows
+    differently — harmless for correctness here, which is
+    partition-invariant, but it breaks plan determinism and cache
+    reuse).  Byte-identical duplicate rows co-locate; that is the
+    dedup operators' problem, not placement's.
     """
     c = F.col(doc_id) if isinstance(doc_id, str) else doc_id
-    row_term = F.pmod(
-        F.hash(c, F.monotonically_increasing_id()), F.lit(salt_buckets)
-    )
+    row_term = F.pmod(F.xxhash64(c, size_col), F.lit(salt_buckets))
     return F.when(size_col > F.lit(threshold), row_term + F.lit(1)).otherwise(
         F.lit(0)
     )
@@ -110,8 +114,14 @@ def salted_two_phase_count(
     hand-rolled analog of what AQE skew handling does at runtime:
     groupBy(key, salt) partial counts, then groupBy(key) sum.
     Returns (key, cnt).
+
+    The salt folds in spark_partition_id(): identical hot-key rows
+    spread across as many salt values as input partitions touch them,
+    and the value is stable under task retry (the partition id is
+    pinned to the input split, unlike monotonically_increasing_id
+    which depends on runtime row order).
     """
-    salt = F.pmod(F.hash(F.col(key), F.monotonically_increasing_id()),
+    salt = F.pmod(F.hash(F.col(key), F.spark_partition_id()),
                   F.lit(salt_buckets))
     partial = (
         df.withColumn("_salt", salt)
