@@ -38,6 +38,15 @@ ENGINE_DEFAULTS: dict[str, Any] = {
     "classifiers": {
         "density": {"enabled": True},
     },
+    # recognizer engines contributing media candidates (the reference's
+    # engines.yaml enabled flags, config.py:84-96): fusion consumes
+    # only candidates from enabled engines (F6/F7 availability filter)
+    "engines": {
+        "rec_a": {"enabled": True},
+        "rec_b": {"enabled": True},
+        "rec_c": {"enabled": True},
+        "rec_d": {"enabled": True},
+    },
     # spark.* defaults live in session.get_spark (machine-sized); this
     # subtree is for per-deployment overrides from the yaml layers.
     "spark": {},

@@ -29,6 +29,28 @@ from ocr_project_spark import rules
 from ocr_project_spark.functions.classify import jaccard_expr
 
 
+def enabled_engines(cfg) -> list[str]:
+    """Engines whose config flag is on (reference engines.yaml enabled
+    map, utils/config.py:84-96 + engine_manager availability checks at
+    engine_manager.py:68-84)."""
+    engines = (cfg.get("engines") if cfg is not None else None) or {}
+    return sorted(
+        name for name, conf in engines.items()
+        if isinstance(conf, dict) and conf.get("enabled", True)
+    )
+
+
+def filter_enabled_candidates(cands: DataFrame, cfg) -> DataFrame:
+    """F6/F7 availability filter: drop candidate rows from disabled
+    engines BEFORE fusion — the batch analog of the reference never
+    invoking a disabled engine.  The equality predicate is an isin over
+    a config-sized list, so it pushes down to the parquet scan."""
+    engines = (cfg.get("engines") if cfg is not None else None) or {}
+    if not engines:
+        return cands
+    return cands.where(F.col("engine").isin(enabled_engines(cfg)))
+
+
 def priority_expr(engine: Column) -> Column:
     """Engine tie-break priority (rules.ENGINE_PRIORITY), small = wins."""
     mapping = F.create_map(

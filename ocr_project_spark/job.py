@@ -134,6 +134,13 @@ def main(argv: list[str] | None = None) -> int:
             docs, par, threshold=args.mega_span_threshold
         )
 
+    if cands is not None:
+        # F6/F7 availability filter: candidates from config-disabled
+        # engines never reach fusion (pushes to the candidate scan)
+        from ocr_project_spark.functions.fuse import filter_enabled_candidates
+
+        cands = filter_enabled_candidates(cands, cfg)
+
     if args.no_checkpoint:
         if args.normalize:
             from ocr_project_spark.pipeline import run_pipeline

@@ -64,3 +64,43 @@ def test_matches_python_mirror(corpus, corpus_dfs):
         )
     got = to_dict(fuse_media_candidates_routed(cands_df, THRESH))
     assert got == want
+
+
+def test_engine_availability_filter(corpus, corpus_dfs):
+    """F6/F7: candidates from config-disabled engines never reach
+    fusion — equivalent to fusing the python-filtered candidate set."""
+    from ocr_project_spark.config import load_config
+    from ocr_project_spark.functions.fuse import filter_enabled_candidates
+
+    _, cands = corpus
+    _, cands_df = corpus_dfs
+    cfg = load_config(overrides=["engines.rec_b.enabled=false"])
+
+    got = to_dict(
+        fuse_media_candidates(filter_enabled_candidates(cands_df, cfg))
+    )
+
+    by_key = defaultdict(list)
+    for c in cands:
+        if c["engine"] != "rec_b":
+            by_key[(c["doc_id"], c["offset"])].append(c)
+    want = {}
+    for key, group in by_key.items():
+        f = oracle.fuse_candidates(group)
+        want[key] = (f["text"], round(f["confidence"], 9), f["method"],
+                     f["n_consensus"])
+    assert got == want
+    assert got != to_dict(fuse_media_candidates(cands_df))  # filter matters
+
+
+def test_availability_filter_pushes_to_scan(spark, corpus_dfs, tmp_path):
+    from ocr_project_spark.config import load_config
+    from ocr_project_spark.functions.fuse import filter_enabled_candidates
+
+    _, cands_df = corpus_dfs
+    cfg = load_config(overrides=["engines.rec_c.enabled=false"])
+    plan = (
+        filter_enabled_candidates(cands_df, cfg)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "engine" in plan, plan
