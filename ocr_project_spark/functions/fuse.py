@@ -191,10 +191,16 @@ def fuse_media_candidates_routed(
 
     Output is row-identical to
     ``fuse_media_candidates(cands, early_termination=...)`` (pinned by
-    tests); the split shape is the one to prefer when most of the
-    corpus short-circuits — the heavy window+Jaccard stage then runs
-    over a small residue, and both shuffles hash the same (doc_id,
-    offset) key so no new skew appears.
+    tests).  Plan tradeoff, measured: the split DAG consumes the
+    candidate source and the route aggregate from two branches, which
+    the static planner cannot dedupe across the union (AQE reuses the
+    shuffle stages at runtime when plans canonicalize equal, but the
+    scans still run per branch).  Prefer the single-pass
+    ``early_termination=`` gate when candidates are a live subquery;
+    prefer THIS shape when candidates are a materialized table (scans
+    are cheap column-pruned re-reads) and most spans short-circuit, so
+    the window+Jaccard stage runs over a small residue.  Both shuffles
+    hash the same (doc_id, offset) key, so the split adds no new skew.
     """
     valid = valid_expr(F.col("text"), F.col("confidence"))
     # ascending-comparable total order (numeric fields negated for
@@ -222,8 +228,12 @@ def fuse_media_candidates_routed(
         F.lit("early_termination").alias("method"),
         F.lit(1).cast("int").alias("n_consensus"),
     )
-    rest_keys = agg.where(~F.coalesce(is_early, F.lit(False))).select(
-        "doc_id", "offset"
+    # rest = everything NOT early, via an anti-join against the early
+    # keys: the early_out aggregate subtree is then consumed twice with
+    # an IDENTICAL shuffle, so Spark's ReuseExchange computes the route
+    # aggregate once (a where(~early) semi-join variant would build a
+    # second, different aggregate subtree and recompute it).
+    rest = cands.join(
+        early_out.select("doc_id", "offset"), ["doc_id", "offset"], "left_anti"
     )
-    rest = cands.join(rest_keys, ["doc_id", "offset"], "left_semi")
     return fuse_media_candidates(rest).unionByName(early_out)
