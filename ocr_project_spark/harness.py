@@ -675,6 +675,37 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(d, n=3, k=16, bands=4)
 
 
+# signature-level oracle: pins the keyed-md5 permutation-min values
+# themselves, not just the (coincidence-tolerant) candidate pair set
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.array_join(
+            DD.minhash_signature(F.col("text"), n=3, k=8), "|"
+        ).alias("sig"),
+    )
+
+
+_SQL_MINHASH_SIGS = """
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(generate_series(0, len(toks)-3),
+        i -> array_to_string(list_slice(toks, i+1, i+3), ' ')))
+    ELSE [array_to_string(toks, ' ')] END AS s
+  FROM t
+)
+SELECT doc_id,
+  array_to_string(list_transform(generate_series(0, 7),
+    h -> list_aggregate(list_transform(s, x -> md5(h || '|' || x)), 'min')),
+    '|') AS sig
+FROM sh
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
 _SQL_MINHASH = """
 WITH t AS (
   SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 150
@@ -1703,6 +1734,7 @@ SPARK_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "near_dup_pairs": q_near_dup_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_sigs": q_minhash_sigs,
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "quality_scores": q_quality_scores,
@@ -1758,6 +1790,7 @@ ORACLE_SQL = {
     "exact_dedup": _SQL_EXACT_DEDUP,
     "near_dup_pairs": _SQL_NEAR_DUP,
     "minhash_lsh_pairs": _SQL_MINHASH,
+    "minhash_sigs": _SQL_MINHASH_SIGS,
     "cosine_topk": _SQL_COSINE_TOPK,
     "ann_lsh_topk": _SQL_ANN_LSH,
     "quality_scores": _SQL_QUALITY,

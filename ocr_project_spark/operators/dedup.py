@@ -84,20 +84,34 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(text: Column, n: int = 3, k: int = 16) -> Column:
-    """k MinHash values: min over shingles of md5(i || shingle).
+def minhash_signature_from_shingles(sh: Column, k: int = 16) -> Column:
+    """k MinHash values over a PRE-COMPUTED shingle array column: min
+    over shingles of md5(i || shingle).
 
     String-min of keyed md5 == a permutation-min sketch; identical
     and deterministic in Spark and DuckDB (the oracle requirement),
     unlike murmur-based hashes which differ across engines.
+
+    Taking the shingle column (not the raw text) matters for cost: the
+    k keyed hashes each reference the same array, so the tokenize +
+    n-gram build runs once per document instead of relying on the
+    optimizer's common-subexpression luck across k copies.
     """
-    sh = shingles(text, n)
+
+    def _keyed(i: int):
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(str(i) + "|"), s))))
-            for i in range(k)
-        ]
+        *[F.array_min(F.transform(sh, _keyed(i))) for i in range(k)]
     )
+
+
+def minhash_signature(text: Column, n: int = 3, k: int = 16) -> Column:
+    """k MinHash values straight from text; see
+    minhash_signature_from_shingles (callers building a pipeline should
+    materialize the shingle column once and use that form)."""
+    return minhash_signature_from_shingles(shingles(text, n), k)
 
 
 def minhash_lsh_pairs(
