@@ -333,6 +333,93 @@ def duplicate_clusters(
     return labels
 
 
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) -> (id, cluster_id).
+
+    Same contract as duplicate_clusters, different round complexity:
+    min-label propagation needs O(diameter) joins, which on chain-shaped
+    duplicate graphs (a->b->c->... from pairwise near-dup edges) means
+    O(n) shuffles; star contraction converges in O(log n) rounds on any
+    graph.  Each round is two groupBy+join passes over the edge set,
+    with localCheckpoint lineage truncation.
+
+      large-star: every node u links its LARGER neighbors to
+                  m(u) = min(neighbors(u) + {u})
+      small-star: on the (now big->small) edges, every node u links its
+                  smaller neighbors and itself to that minimum
+
+    Fixpoint: the edge set stops changing; every surviving edge then
+    points directly at its component minimum.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonicalize to big -> small so both phases see directed edges
+    e = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        # --- large-star over the symmetric view ---
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        large = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star over the (big -> small) edges ---
+        m2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = large.join(m2, "u")
+        small = (
+            joined.where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(m2.select("u", F.col("mn").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e = small
+        # convergence: order-insensitive signature of the edge set
+        # (driver-side scalar; one metadata-cheap aggregate per round)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = nodes.join(
+        e.select(F.col("u").alias("id")).distinct(), "id", "left_anti"
+    ).select("id", F.col("id").alias("cluster_id"))
+    return labels.unionByName(roots)
+
+
 def elect_keepers(
     clusters: DataFrame,
     id_col: str = "id",

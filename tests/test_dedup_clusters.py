@@ -117,3 +117,49 @@ def test_simhash64_band_fanout_bounded(spark):
     # center-bias of simhash bit distributions
     cand_pairs = sum(s * (s - 1) // 2 for s in sizes)
     assert cand_pairs < (bands / 2**rows) * (n * n / 2) * 2, cand_pairs
+
+
+def test_star_contraction_matches_union_find(spark):
+    """Large-star/small-star CC: identical clusters to union-find, and
+    convergence within O(log n) rounds — 8 rounds suffice for a
+    200-node chain where min-label propagation would need ~200."""
+    n = 200
+    chain = [(f"{i:03d}", f"{i+1:03d}") for i in range(n - 1)]
+    cliques = [("a00", x) for x in ("a01", "a02", "a03")]
+    pairs = spark.createDataFrame(chain + cliques, "id_a string, id_b string")
+
+    from ocr_project_spark.operators.dedup import duplicate_clusters_star
+
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters_star(pairs, max_iterations=8).collect()
+    }
+    want = union_find(chain + cliques)
+    assert canon(got) == canon(want)
+    # every chain node labels to the chain minimum directly
+    assert got["199"] == "000" and got["100"] == "000"
+    assert got["a03"] == "a00"
+
+
+def test_star_contraction_agrees_with_label_prop(spark, corpus_dfs):
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.dedup import (
+        duplicate_clusters_star,
+        simhash_pairs,
+    )
+
+    docs_df, _ = corpus_dfs
+    pairs = simhash_pairs(
+        docs_df.selectExpr(
+            "doc_id",
+            "array_join(transform(spans, s -> coalesce(s.text, '')), ' ') as text",
+        ),
+        bands=4, max_hamming=2,
+    ).select("id_a", "id_b")
+    if not pairs.take(1):
+        return
+    a = {r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    b = {r["id"]: r["cluster_id"]
+         for r in duplicate_clusters_star(pairs).collect()}
+    assert canon(a) == canon(b)
