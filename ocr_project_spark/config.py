@@ -75,7 +75,9 @@ def _load_file(path: str) -> dict:
     if data is None:
         return {}
     if not isinstance(data, dict):
-        raise ValueError(f"config file {path!r} must contain a mapping")
+        from ocr_project_spark.errors import ConfigurationError
+
+        raise ConfigurationError(f"config file {path!r} must contain a mapping")
     return data
 
 
@@ -84,7 +86,11 @@ def _parse_override(item: str) -> dict:
     rules (so '8' is an int, 'true' a bool, 'auto' a string)."""
     key, _, raw = item.partition("=")
     if not _ or not key:
-        raise ValueError(f"override {item!r} is not of the form key.path=value")
+        from ocr_project_spark.errors import ConfigurationError
+
+        raise ConfigurationError(
+            f"override {item!r} is not of the form key.path=value"
+        )
     import yaml
 
     value: Any = yaml.safe_load(raw) if raw != "" else None

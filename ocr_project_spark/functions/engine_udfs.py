@@ -41,7 +41,9 @@ def get_classifier(name: str) -> Classifier:
     try:
         return CLASSIFIERS[name]
     except KeyError:
-        raise KeyError(
+        from ocr_project_spark.errors import ClassifierNotAvailableError
+
+        raise ClassifierNotAvailableError(
             f"unknown classifier {name!r}; available: {sorted(CLASSIFIERS)}"
         ) from None
 

@@ -110,13 +110,17 @@ def doc_status_expr() -> Column:
       malformed_span  some span lacks the fields assembly sorts and
                       classifies on (offset / kind)
     """
+    from ocr_project_spark import errors
+
     bad_span = F.exists(
         F.col("spans"), lambda s: s["offset"].isNull() | s["kind"].isNull()
     )
     return (
-        F.when(F.col("doc_id").isNull(), _status(False, "null_doc_id"))
-        .when(F.col("spans").isNull(), _status(False, "null_spans"))
-        .when(bad_span, _status(False, "malformed_span"))
+        F.when(
+            F.col("doc_id").isNull(), _status(False, errors.REASON_NULL_DOC_ID)
+        )
+        .when(F.col("spans").isNull(), _status(False, errors.REASON_NULL_SPANS))
+        .when(bad_span, _status(False, errors.REASON_MALFORMED_SPAN))
         .otherwise(_status(True, None))
     )
 

@@ -88,3 +88,27 @@ def test_config_object_dotted_getter():
     assert c.get("a.b") == {"c": 5}
     assert c.get("d.0") is None  # lists are terminal
     assert c.as_dict()["d"] == [1, 2]
+
+
+def test_error_taxonomy():
+    """Driver-side failures raise the taxonomy (reference
+    exceptions.py hierarchy); per-document failures are status rows
+    whose reasons the REASON_INFO registry describes."""
+    from ocr_project_spark import errors
+    from ocr_project_spark.functions.engine_udfs import get_classifier
+
+    with pytest.raises(errors.ConfigurationError):
+        load_config(overrides=["bad"])
+    with pytest.raises(errors.ClassifierNotAvailableError):
+        get_classifier("no_such_classifier")
+    # taxonomy roots + builtin conventions both hold
+    assert issubclass(errors.ConfigurationError, errors.ExtractionError)
+    assert issubclass(errors.ConfigurationError, ValueError)
+    assert issubclass(errors.ClassifierNotAvailableError, KeyError)
+    # every status reason the pipeline can emit is registered
+    from ocr_project_spark.operators.extract import doc_status_expr  # noqa: F401
+    assert set(errors.REASON_INFO) == {
+        errors.REASON_NULL_DOC_ID,
+        errors.REASON_NULL_SPANS,
+        errors.REASON_MALFORMED_SPAN,
+    }
