@@ -27,14 +27,17 @@ from ocr_project_spark.session import get_spark
 BENCH_QUERIES = [
     "extract_clean_spans",
     "fuse_candidates",
+    "fusion_routing",
     "session_stats",
     "top1_per_group",
     "weighted_confidence",
     "region_revenue",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "simhash64_pairs",
     "cosine_topk",
     "quality_scores",
+    "error_rows",
 ]
 
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
