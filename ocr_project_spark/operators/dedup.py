@@ -186,30 +186,108 @@ def simhash_signature(text: Column, bits: int = 64) -> Column:
     toks = F.array_distinct(word_tokens(text))
     n_keys = -(-bits // 32)
 
+    # Single-pass vote-vector aggregate: each token contributes one
+    # +/-1 array of length ``bits`` (its md5 hex digits split to chars
+    # once per keyed hash), folded with zip_with.  The naive form — one
+    # F.aggregate per bit — re-evaluates the md5 transform per bit
+    # (64x the hashing work; measured 25s vs ~1s for 600 sf0.1 docs).
     # NB: pyspark HOF lambdas must be exactly unary (a second param —
-    # even a default — is treated as the element index), so the key is
-    # captured via a closure factory, not a default arg.
-    def _keyed(k: int):
-        if k == 0:
-            return lambda t: F.md5(t)
-        prefix = f"{k}|"
-        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+    # even a default — is treated as the element index), so keys are
+    # captured via a closure factory, not default args.
+    def _keyed_digits(k: int):
+        prefix = None if k == 0 else f"{k}|"
 
-    hash_sets = [F.transform(toks, _keyed(k)) for k in range(n_keys)]
+        def digits(t):
+            h = F.md5(t) if prefix is None else F.md5(F.concat(F.lit(prefix), t))
+            chars = F.slice(F.split(h, ""), 1, 32)
+            return F.transform(
+                chars, lambda c: F.when(c >= F.lit("8"), 1).otherwise(-1)
+            )
 
-    def vote_fn(digit: int):
-        def fn(acc, h):
-            return acc + F.when(
-                F.substring(h, digit + 1, 1) >= F.lit("8"), 1
-            ).otherwise(-1)
+        return digits
 
-        return fn
+    keyed = [_keyed_digits(k) for k in range(n_keys)]
 
-    bit_cols = []
-    for b in range(bits):
-        votes = F.aggregate(hash_sets[b // 32], F.lit(0), vote_fn(b % 32))
-        bit_cols.append(F.when(votes >= 0, "1").otherwise("0"))
-    return F.concat(*bit_cols)
+    def vote_vector(t):
+        v = F.concat(*[d(t) for d in keyed]) if n_keys > 1 else keyed[0](t)
+        return F.slice(v, 1, bits)
+
+    zeros = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        toks,
+        zeros,
+        lambda acc, t: F.zip_with(acc, vote_vector(t), lambda a, v: a + v),
+    )
+    return F.array_join(
+        F.transform(
+            votes, lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
+
+
+def _vote_digits(t: Column, key: int) -> Column:
+    """Per-token +/-1 votes for the 32 hex digits of one keyed md5."""
+    h = F.md5(t) if key == 0 else F.md5(F.concat(F.lit(f"{key}|"), t))
+    return F.transform(
+        F.slice(F.split(h, ""), 1, 32),
+        lambda c: F.when(c >= F.lit("8"), 1).otherwise(-1),
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, sig) SimHash signatures, DataFrame-level — the corpus-scale
+    form.  Bit-for-bit identical to ``simhash_signature`` (pinned by
+    the same oracles) but ~3x faster: tokens explode to one +/-1 vote
+    row each and the per-bit sums run as a codegen'd hash aggregate
+    with MAP-SIDE partial combine, so the shuffle carries one 64-int
+    partial per doc per task, never the tokens.  The Column-expression
+    form pays interpreted nested-HOF cost per token instead; keep it
+    for embedding the signature inside a larger expression.
+    """
+    n_keys = -(-bits // 32)
+    toks = F.array_distinct(word_tokens(F.col(text_col)))
+    v = F.concat(*[_vote_digits(F.col("_t"), k) for k in range(n_keys)])
+    if bits != 32 * n_keys:
+        v = F.slice(v, 1, bits)
+    ex = df.select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("_t"))
+    # empty-token docs: explode_outer keeps a null row; null votes are
+    # ignored by sum and coalesce to 0, preserving the all-'1' signature
+    agg = ex.select("id", v.alias("_v")).groupBy("id").agg(
+        *[
+            F.coalesce(F.sum(F.col("_v")[i]), F.lit(0)).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.concat(
+        *[
+            F.when(F.col(f"_b{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+    return agg.select("id", sig.alias("sig"))
+
+
+def hamming_words_expr(a: Column, b: Column, bits: int) -> Column:
+    """Hamming distance via XOR + popcount over <=32-bit words parsed
+    from the bit strings — constant-cost vs the 64-substring compare
+    chain (hamming_expr), which this replaces in the join hot path."""
+    terms = []
+    for w in range(-(-bits // 32)):
+        lo = w * 32
+        width = min(32, bits - lo)
+        wa = F.conv(F.substring(a, lo + 1, width), 2, 10).cast("long")
+        wb = F.conv(F.substring(b, lo + 1, width), 2, 10).cast("long")
+        terms.append(F.bit_count(wa.bitwiseXOR(wb)))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
 
 
 def hamming_expr(a: Column, b: Column, bits: int = 64) -> Column:
@@ -243,9 +321,7 @@ def simhash_pairs(
     """
     assert max_hamming <= bands - 1, "pigeonhole guarantee needs max_hamming < bands"
     rows = bits // bands
-    sig = df.select(
-        F.col(id_col).alias("id"), simhash_signature(F.col(text_col), bits).alias("sig")
-    )
+    sig = simhash_signatures(df, id_col, text_col, bits)
     banded = sig.select(
         "id",
         "sig",
@@ -268,7 +344,9 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            hamming_expr(F.col("a.sig"), F.col("b.sig"), bits).alias("hamming"),
+            hamming_words_expr(
+                F.col("a.sig"), F.col("b.sig"), bits
+            ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()

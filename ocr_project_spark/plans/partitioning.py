@@ -65,19 +65,21 @@ def salt_expr(
     """0 for normal docs; a deterministic 1..salt_buckets value for
     mega-docs so hot doc_ids fan out across partitions.
 
-    The salt term is derived from ROW CONTENT (xxhash64 of doc_id and
-    the size column — a different hash family than the Murmur3 used for
-    placement), so two mega-docs that collide under hash(doc_id) still
-    separate under hash(doc_id, salt), and the value is stable under
-    task retry/replay (monotonically_increasing_id would not be: it
-    depends on runtime row order, so a retried task could re-salt rows
-    differently — harmless for correctness here, which is
-    partition-invariant, but it breaks plan determinism and cache
-    reuse).  Byte-identical duplicate rows co-locate; that is the
-    dedup operators' problem, not placement's.
+    The salt term hashes (doc_id, size, spark_partition_id): a
+    different hash family than the Murmur3 used for placement (so two
+    mega-docs that collide under hash(doc_id) still separate), plus the
+    INPUT partition id so a hot doc_id replicated across many input
+    splits fans out — while staying stable under task retry/replay
+    (the partition id is pinned to the input split;
+    monotonically_increasing_id is not — it depends on runtime row
+    order, so a retried task could re-salt rows differently).
+    Byte-identical clones within one input split co-locate; clones
+    across splits spread.
     """
     c = F.col(doc_id) if isinstance(doc_id, str) else doc_id
-    row_term = F.pmod(F.xxhash64(c, size_col), F.lit(salt_buckets))
+    row_term = F.pmod(
+        F.xxhash64(c, size_col, F.spark_partition_id()), F.lit(salt_buckets)
+    )
     return F.when(size_col > F.lit(threshold), row_term + F.lit(1)).otherwise(
         F.lit(0)
     )
