@@ -114,6 +114,34 @@ def minhash_signature(text: Column, n: int = 3, k: int = 16) -> Column:
     return minhash_signature_from_shingles(shingles(text, n), k)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+) -> DataFrame:
+    """(id, sig array<string>) MinHash signatures, DataFrame-level —
+    the corpus-scale form.  Identical values to ``minhash_signature``
+    (same keyed-md5 string-min sketch), but shingles explode to one row
+    each and the k mins run as ONE codegen'd hash aggregate with
+    map-side partial combine: the shuffle carries one k-string partial
+    per doc per task, and each shingle is hashed exactly k times in a
+    single pass (the Column form re-walks the shingle array per hash
+    key)."""
+    sh = shingles(F.col(text_col), n)
+    ex = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("_s"))
+    agg = ex.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")))).alias(f"_h{i}")
+            for i in range(k)
+        ]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"_h{i}") for i in range(k)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -132,10 +160,7 @@ def minhash_lsh_pairs(
     bounded, and AQE skew-split handles hot buckets.
     """
     rows = k // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n, k).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, n, k)
     banded = sig.select(
         "id",
         F.explode(

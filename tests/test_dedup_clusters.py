@@ -163,3 +163,52 @@ def test_star_contraction_agrees_with_label_prop(spark, corpus_dfs):
     b = {r["id"]: r["cluster_id"]
          for r in duplicate_clusters_star(pairs).collect()}
     assert canon(a) == canon(b)
+
+
+def test_signature_forms_identical(spark, corpus_dfs):
+    """The DataFrame-level (explode + partial-agg) signature paths must
+    be value-identical to the Column-expression forms they accelerate."""
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures,
+        simhash_signature,
+        simhash_signatures,
+    )
+
+    docs_df, _ = corpus_dfs
+    flat = docs_df.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.coalesce(F.col("spans"), F.array()),
+                        lambda s: F.coalesce(s["text"], F.lit(""))),
+            " ",
+        ).alias("text"),
+    # cap text length: the Column form's interpreted nested-HOF cost on
+    # the 400-span mega-doc alone is minutes (exactly why the df form
+    # exists); short docs still cover empty/edge token sets
+    ).where(F.length("text") < 1500)
+
+    col_sim = {
+        r["doc_id"]: r["s"]
+        for r in flat.select(
+            "doc_id", simhash_signature(F.col("text"), 64).alias("s")
+        ).collect()
+    }
+    df_sim = {
+        r["id"]: r["sig"] for r in simhash_signatures(flat, bits=64).collect()
+    }
+    assert col_sim == df_sim
+
+    col_mh = {
+        r["doc_id"]: tuple(r["s"])
+        for r in flat.select(
+            "doc_id", minhash_signature(F.col("text"), 3, 16).alias("s")
+        ).collect()
+    }
+    df_mh = {
+        r["id"]: tuple(r["sig"])
+        for r in minhash_signatures(flat, n=3, k=16).collect()
+    }
+    assert col_mh == df_mh
