@@ -80,3 +80,39 @@ def test_interval_join_plan_is_equi(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_fractional_end_on_bucket_boundary(spark):
+    """A range ending a fraction past a bucket boundary must still
+    match rows in [boundary, end) — the truncating-unix_timestamp bug:
+    end=..:00.5 with hourly buckets dropped the final bucket."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T02:00:00.200")),   # in [02:00, 02:00:00.5)
+         (2, ts("2024-01-01T02:00:00.700")),   # past end -> no match
+         (3, ts("2024-01-01T01:30:00"))],      # mid-range
+        "id long, ts timestamp",
+    )
+    ranges = spark.createDataFrame(
+        [("r1", ts("2024-01-01T01:00:00"), ts("2024-01-01T02:00:00.500"))],
+        "name string, start timestamp, end timestamp",
+    )
+    out = sorted(
+        r["id"] for r in interval_join(left, ranges, bucket_seconds=3600).collect()
+    )
+    assert out == [1, 3]
+
+
+def test_interval_join_degenerate_ranges_dropped(spark):
+    """end <= start covers nothing; it must neither match nor make
+    F.sequence explode descending buckets."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T01:00:00"))], "id long, ts timestamp"
+    )
+    ranges = spark.createDataFrame(
+        [("empty", ts("2024-01-01T01:00:00"), ts("2024-01-01T01:00:00")),
+         ("inverted", ts("2024-01-01T05:00:00"), ts("2024-01-01T00:00:00")),
+         ("good", ts("2024-01-01T00:30:00"), ts("2024-01-01T01:30:00"))],
+        "name string, start timestamp, end timestamp",
+    )
+    rows = interval_join(left, ranges, bucket_seconds=3600).collect()
+    assert [(r["id"], r["name"]) for r in rows] == [(1, "good")]
