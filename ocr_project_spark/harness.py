@@ -1534,6 +1534,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+# IVF with n_probe = n_centroids is exhaustive, hence EXACT — the same
+# machinery (k-means build, cluster pruning filter, refine top-k) runs
+# fully oracle-checked against the brute-force cosine SQL; the
+# approximate tier above stays rows-only with a pytest recall bound.
+def q_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, centroids = SIM.ivf_build(emb.where(F.col("vec_id") != 0), n_centroids=8)
+    res = SIM.ivf_topk(assigned, centroids, qvec, k=5, n_probe=8)
+    return res.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 # --------------------------------------------------------------------
 # 44. Anti join — customers with no orders (the resume anti-join shape
 #     of plans/checkpoint.py at relational level)
@@ -1763,6 +1775,7 @@ SPARK_QUERIES = {
     "event_pivot": q_event_pivot,
     "order_cube": q_order_cube,
     "ivf_topk": q_ivf_topk,
+    "ivf_exhaustive_topk": q_ivf_exhaustive_topk,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "normalize_text": q_normalize_text,
@@ -1817,6 +1830,7 @@ ORACLE_SQL = {
     "error_rows": _SQL_ERROR_ROWS,
     "event_pivot": _SQL_PIVOT,
     "order_cube": _SQL_CUBE,
+    "ivf_exhaustive_topk": _SQL_COSINE_TOPK,
     "asof_join": _SQL_ASOF,
     "interval_join": _SQL_INTERVAL,
     "normalize_text": _SQL_NORMALIZE,
