@@ -42,10 +42,17 @@ def normalize_balanced(text: Column) -> Column:
     return normalize_minimal(t)
 
 
+# Stage order makes every tier IDEMPOTENT (property-tested): character
+# REMOVALS (zero-width, control) run before the run-collapses
+# (newlines, punctuation, whitespace), because a removal can merge two
+# short runs into a squeezable one — squeeze-before-strip left "..\r."
+# squeezing to "..." only on the second pass.
 def normalize_enhanced(text: Column) -> Column:
     t = F.regexp_replace(text, r"[�​‌‍﻿]", "")
+    t = F.regexp_replace(t, r"[\x00-\x08\x0b-\x1f]", "")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
     t = F.regexp_replace(t, r"([!?.,;:])\1{2,}", "$1$1")
-    return normalize_balanced(t)
+    return normalize_minimal(t)
 
 
 def normalize_for_strategy(text: Column, strategy: Column) -> Column:

@@ -1442,14 +1442,14 @@ SELECT doc_id,
     '[ \t]+', ' ', 'g'),
     '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS n_bal,
   regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
     regexp_replace(
       regexp_replace(
-          regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
             regexp_replace(dirty, '[' || chr(65533) || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),
-            '!{3,}', '!!', 'g'), '\?{3,}', '??', 'g'), '\.{3,}', '..', 'g'),
-            ',{3,}', ',,', 'g'), ';{3,}', ';;', 'g'), ':{3,}', '::', 'g'),
         '[\x00-\x08\x0b-\x1f]', '', 'g'),
       '\n{3,}', chr(10) || chr(10), 'g'),
+            '!{3,}', '!!', 'g'), '\?{3,}', '??', 'g'), '\.{3,}', '..', 'g'),
+            ',{3,}', ',,', 'g'), ';{3,}', ';;', 'g'), ':{3,}', '::', 'g'),
     '[ \t]+', ' ', 'g'),
     '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS n_enh
 FROM t

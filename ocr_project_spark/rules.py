@@ -101,9 +101,13 @@ def normalize_balanced(text: str | None) -> str:
 
 
 def normalize_enhanced(text: str | None) -> str:
+    # removals before run-collapses — keeps the tier idempotent (see
+    # functions/cleanup.py normalize_enhanced)
     t = _ZERO_WIDTH.sub("", text or "")
+    t = _CTRL.sub("", t)
+    t = _NL_RUN.sub("\n\n", t)
     t = _PUNCT_RUN.sub(r"\1\1", t)
-    return normalize_balanced(t)
+    return normalize_minimal(t)
 
 
 NORMALIZERS = {

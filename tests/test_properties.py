@@ -100,3 +100,40 @@ def test_extract_invariant_to_partition_count(spark, corpus_dfs):
     a = _extract_dict(docs_df.repartition(1), cands_df.repartition(1))
     b = _extract_dict(docs_df.repartition(16), cands_df.repartition(16))
     assert a == b
+
+
+# dirtier alphabet for the normalizer lockstep property: control chars,
+# CR/LF, zero-width, punctuation runs
+dirty_token = st.text(
+    alphabet="ab .!?\t\n\r\x07\x0b\x0c​ ", max_size=10
+)
+dirty_texts = st.lists(dirty_token, max_size=12).map(" ".join)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(dirty_texts, min_size=1, max_size=30))
+def test_normalizers_lockstep_and_idempotent(spark_batch_dirty):
+    """Property: for every tier, the Spark expression and the pure
+    Python mirror normalize byte-identically (the round-1 drift was
+    exactly here: \\s vs str.strip vs trim), and each tier is
+    idempotent — normalizing twice changes nothing."""
+    from ocr_project_spark.functions import cleanup
+    from ocr_project_spark.session import get_spark
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+
+    batch = spark_batch_dirty
+    df = spark.createDataFrame([(t,) for t in batch], "t string")
+    out = df.select(
+        cleanup.normalize_minimal(F.col("t")).alias("m"),
+        cleanup.normalize_balanced(F.col("t")).alias("b"),
+        cleanup.normalize_enhanced(F.col("t")).alias("e"),
+        cleanup.normalize_minimal(cleanup.normalize_minimal(F.col("t"))).alias("mm"),
+        cleanup.normalize_balanced(cleanup.normalize_balanced(F.col("t"))).alias("bb"),
+        cleanup.normalize_enhanced(cleanup.normalize_enhanced(F.col("t"))).alias("ee"),
+    ).collect()
+    for t, r in zip(batch, out):
+        assert r["m"] == rules.normalize_minimal(t), (t.encode(), r["m"])
+        assert r["b"] == rules.normalize_balanced(t), (t.encode(), r["b"])
+        assert r["e"] == rules.normalize_enhanced(t), (t.encode(), r["e"])
+        assert r["mm"] == r["m"] and r["bb"] == r["b"] and r["ee"] == r["e"]
