@@ -67,6 +67,40 @@ def _append(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def _check_run_config(out_dir: str, run_id: str, n_buckets: int) -> None:
+    """Pin the run's bucketing in a meta file; a resume with a
+    DIFFERENT n_buckets would silently mis-map committed watermarks
+    onto other documents (bucket = pmod(hash(doc_id), n) changes with
+    n), so it must fail loudly instead.
+
+    Local-filesystem JSON here; a real deployment stores this in the
+    Iceberg table properties / snapshot summary.
+    """
+    import json
+    import os
+
+    from ocr_project_spark.errors import CheckpointConflictError
+
+    meta_dir = os.path.join(out_dir, "_run_meta")
+    meta_path = os.path.join(meta_dir, f"{run_id}.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("n_buckets") != n_buckets:
+            raise CheckpointConflictError(
+                f"run {run_id!r} at {out_dir!r} was started with "
+                f"n_buckets={meta.get('n_buckets')}; resuming with "
+                f"n_buckets={n_buckets} would remap committed buckets "
+                "onto different documents"
+            )
+        return
+    os.makedirs(meta_dir, exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"run_id": run_id, "n_buckets": n_buckets}, f)
+    os.replace(tmp, meta_path)
+
+
 def run(
     spark: SparkSession,
     docs: DataFrame,
@@ -93,6 +127,7 @@ def run(
     written bucket-partitioned.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    _check_run_config(out_dir, run_id, n_buckets)
     docs_b = with_bucket(docs, n_buckets)
     done = completed_buckets(spark, out_dir, run_id)
     pending = [b for b in range(n_buckets) if b not in done]

@@ -108,3 +108,23 @@ def test_checkpoint_metrics_count_errors(spark, bad_corpus, tmp_path):
     observed_out.write.format("noop").mode("overwrite").save()
     assert obs.get["error_docs"] == 4
     assert obs.get["docs"] == 6
+
+
+def test_resume_with_changed_buckets_rejected(spark, bad_corpus, tmp_path):
+    """bucket = pmod(hash(doc_id), n) changes meaning with n: resuming
+    a run with a different n_buckets must fail loudly, not silently
+    skip the wrong documents."""
+    import pytest
+
+    from ocr_project_spark.errors import CheckpointConflictError
+    from ocr_project_spark.plans import checkpoint
+
+    out_dir = str(tmp_path / "ck2")
+    checkpoint.run(spark, bad_corpus, out_dir, "run-x", n_buckets=4,
+                   bucket_batch_size=4)
+    with pytest.raises(CheckpointConflictError, match="n_buckets"):
+        checkpoint.run(spark, bad_corpus, out_dir, "run-x", n_buckets=8)
+    # same config resumes fine (no-op: all buckets committed)
+    checkpoint.run(spark, bad_corpus, out_dir, "run-x", n_buckets=4)
+    # a different run_id at the same root is its own config
+    checkpoint.run(spark, bad_corpus, out_dir, "run-y", n_buckets=8)
