@@ -378,6 +378,71 @@ def simhash_pairs(
     )
 
 
+def simhash_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id, cluster_id) near-dup clusters via SimHash, with the
+    identical-signature collapse that keeps banded LSH alive on
+    boilerplate-heavy corpora.
+
+    ``simhash_pairs`` enumerates candidate pairs within band buckets —
+    O(B^2) per bucket.  On self-similar corpora (the common case that
+    motivates dedup!) one bucket can hold most of the corpus precisely
+    because the docs ARE near-identical, and pair enumeration
+    degenerates quadratically.  But docs sharing a FULL signature are
+    mutual duplicates at Hamming 0 and never need pairing: collapse
+    each signature group to its min-id representative first, band-join
+    only the DISTINCT signatures, and seed the component computation
+    with the (member -> representative) star edges.  Cluster output is
+    IDENTICAL to clustering simhash_pairs(df) (pinned by test) at
+    sum-of-distinct-sigs-squared join cost instead of
+    sum-of-docs-squared.
+    """
+    sigs = simhash_signatures(df, id_col, text_col, bits)
+    reps = sigs.groupBy("sig").agg(F.min("id").alias("rep_id"))
+    member_edges = (
+        sigs.join(reps, "sig")
+        .where(F.col("id") != F.col("rep_id"))
+        .select(F.col("id").alias("id_a"), F.col("rep_id").alias("id_b"))
+    )
+
+    rows = bits // bands
+    banded = reps.select(
+        F.col("rep_id").alias("id"),
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(F.col("sig"), b * rows + 1, rows).alias("bb"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("x"),
+    ).select("id", "sig", "x.band", "x.bb")
+    a, b = banded.alias("a"), banded.alias("b")
+    rep_pairs = (
+        a.join(b, ["band", "bb"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming_words_expr(F.col("a.sig"), F.col("b.sig"), bits).alias("h"),
+        )
+        .where(F.col("h") <= max_hamming)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return duplicate_clusters_star(rep_pairs.unionByName(member_edges))
+
+
 # ---------------------------------------------------- duplicate clusters
 def duplicate_clusters(
     pairs: DataFrame,

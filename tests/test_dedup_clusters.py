@@ -212,3 +212,36 @@ def test_signature_forms_identical(spark, corpus_dfs):
         for r in minhash_signatures(flat, n=3, k=16).collect()
     }
     assert col_mh == df_mh
+
+
+def test_simhash_clusters_match_naive_pair_path(spark, corpus_dfs):
+    """simhash_clusters (identical-signature collapse + rep-only band
+    join) must produce exactly the clusters of the naive
+    pairs-then-cluster path — at distinct-sig join cost."""
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.dedup import (
+        simhash_clusters,
+        simhash_pairs,
+    )
+
+    docs_df, _ = corpus_dfs
+    flat = docs_df.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.coalesce(F.col("spans"), F.array()),
+                        lambda s: F.coalesce(s["text"], F.lit(""))),
+            " ",
+        ).alias("text"),
+    )
+    naive_pairs = simhash_pairs(flat, bands=8, max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    rows = [(r["id_a"], r["id_b"]) for r in naive_pairs.collect()]
+    assert rows, "fixture corpus should contain simhash near-dups"
+    want = union_find(rows)
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in simhash_clusters(flat, bands=8, max_hamming=3).collect()
+    }
+    assert canon(got) == canon(want)
