@@ -140,6 +140,61 @@ FROM k
 
 
 # --------------------------------------------------------------------
+# 1b. The REAL chunked extraction pipeline (extract_chunked: intra-doc
+#     parallel chunking + reassembly) over spans derived from the
+#     documents table — oracle-checked end-to-end.  Small chunk cap
+#     forces multi-chunk docs so the reassembly path actually runs.
+# --------------------------------------------------------------------
+def q_extract_chunked_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.extract import extract_chunked
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(
+            TX.chunk_spans(F.col("text"), 10),
+            lambda c, i: F.struct(
+                F.lit("text").alias("kind"),
+                c.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = extract_chunked(docs, None, max_spans_per_chunk=4)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("s.order").alias("span_order"),
+        F.col("s.text").alias("span_text"),
+    )
+
+
+_SQL_EXTRACT_CHUNKED = """
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(0, greatest(cast(ceil(len(toks)/10.0) AS int),1)-1),
+             i -> {{'idx': i,
+                   'txt': array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')}})) AS ch
+  FROM t
+), s AS (
+  SELECT doc_id, ch.idx AS idx, ch.txt AS span_text,
+         {ctoks} AS ctoks
+  FROM c
+), k AS (
+  SELECT doc_id, idx, span_text FROM s
+  WHERE len(ctoks) >= 8
+    AND len(list_filter(ctoks, x -> x = '<a>')) * 1.0 / len(ctoks) < 0.4
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS int) AS span_order,
+       span_text
+FROM k
+""".format(toks=_WS_TOKS.format(c="text"), ctoks=_WS_TOKS.format(c="ch.txt"))
+
+
+# --------------------------------------------------------------------
 # 2. Fusion (J1/J2/A6/W1/O5/U1): derive 3 candidate "recognitions" per
 #    document deterministically, fuse with the reference semantics.
 # --------------------------------------------------------------------
@@ -1729,6 +1784,7 @@ FROM t GROUP BY 1, 2
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
     "extract_clean_spans": q_extract_clean_spans,
+    "extract_chunked_spans": q_extract_chunked_spans,
     "fuse_candidates": q_fuse_candidates,
     "fusion_routing": q_fusion_routing,
     "session_stats": q_session_stats,
@@ -1786,6 +1842,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "extract_clean_spans": _SQL_EXTRACT,
+    "extract_chunked_spans": _SQL_EXTRACT_CHUNKED,
     "fuse_candidates": _SQL_FUSE,
     "fusion_routing": _SQL_FUSION_ROUTING,
     "session_stats": _SQL_SESSION,
