@@ -148,24 +148,8 @@ FROM k
 def q_extract_chunked_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.operators.extract import extract_chunked
 
-    docs = T(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.transform(
-            TX.chunk_spans(F.col("text"), 10),
-            lambda c, i: F.struct(
-                F.lit("text").alias("kind"),
-                c.alias("text"),
-                F.lit(None).cast("string").alias("media_ref"),
-                i.cast("int").alias("offset"),
-            ),
-        ).alias("spans"),
-    )
-    out = extract_chunked(docs, None, max_spans_per_chunk=4)
-    return out.select("doc_id", F.explode("spans").alias("s")).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("s.order").alias("span_order"),
-        F.col("s.text").alias("span_text"),
-    )
+    docs = _derived_span_docs(spark, sf_dir)
+    return _spans_out_flat(extract_chunked(docs, None, max_spans_per_chunk=4))
 
 
 _SQL_EXTRACT_CHUNKED = """
@@ -192,6 +176,54 @@ SELECT doc_id,
        span_text
 FROM k
 """.format(toks=_WS_TOKS.format(c="text"), ctoks=_WS_TOKS.format(c="ch.txt"))
+
+
+def _derived_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text -> spans-shaped docs (10-token chunks), the input
+    the engine-path queries share with extract_chunked_spans."""
+    return T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(
+            TX.chunk_spans(F.col("text"), 10),
+            lambda c, i: F.struct(
+                F.lit("text").alias("kind"),
+                c.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def _spans_out_flat(out: DataFrame) -> DataFrame:
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("s.order").alias("span_order"),
+        F.col("s.text").alias("span_text"),
+    )
+
+
+# 1c/1d. The python-kernel engine paths, oracle-checked end-to-end
+# against DuckDB (same semantics as extract(), so they share the
+# chunked-extraction oracle): the vectorized pandas kernel and the
+# zero-copy mapInArrow kernel — the north-star's "batched Arrow
+# tokenizer" stage.
+def q_extract_pandas_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.extract_pandas import extract_pandas_engine
+
+    _ensure_pyfiles(spark)
+    return _spans_out_flat(
+        extract_pandas_engine(_derived_span_docs(spark, sf_dir), None)
+    )
+
+
+def q_extract_arrow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.extract_arrow import extract_arrow_engine
+
+    _ensure_pyfiles(spark)
+    return _spans_out_flat(
+        extract_arrow_engine(_derived_span_docs(spark, sf_dir), None)
+    )
 
 
 # --------------------------------------------------------------------
@@ -1785,6 +1817,8 @@ FROM t GROUP BY 1, 2
 SPARK_QUERIES = {
     "extract_clean_spans": q_extract_clean_spans,
     "extract_chunked_spans": q_extract_chunked_spans,
+    "extract_pandas_spans": q_extract_pandas_spans,
+    "extract_arrow_spans": q_extract_arrow_spans,
     "fuse_candidates": q_fuse_candidates,
     "fusion_routing": q_fusion_routing,
     "session_stats": q_session_stats,
@@ -1843,6 +1877,8 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "extract_clean_spans": _SQL_EXTRACT,
     "extract_chunked_spans": _SQL_EXTRACT_CHUNKED,
+    "extract_pandas_spans": _SQL_EXTRACT_CHUNKED,
+    "extract_arrow_spans": _SQL_EXTRACT_CHUNKED,
     "fuse_candidates": _SQL_FUSE,
     "fusion_routing": _SQL_FUSION_ROUTING,
     "session_stats": _SQL_SESSION,
