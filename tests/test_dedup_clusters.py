@@ -245,3 +245,32 @@ def test_simhash_clusters_match_naive_pair_path(spark, corpus_dfs):
         for r in simhash_clusters(flat, bands=8, max_hamming=3).collect()
     }
     assert canon(got) == canon(want)
+
+
+def test_hamming_forms_identical(spark):
+    """XOR+popcount word hamming == the readable substring-compare
+    form, across random 64-bit signatures (incl. identical pairs)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.dedup import (
+        hamming_expr,
+        hamming_words_expr,
+    )
+
+    rnd = random.Random(3)
+    rows = []
+    for _ in range(300):
+        a = "".join(rnd.choice("01") for _ in range(64))
+        if rnd.random() < 0.2:
+            b = a
+        else:
+            b = "".join(rnd.choice("01") for _ in range(64))
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = df.select(
+        hamming_expr(F.col("a"), F.col("b"), 64).alias("h1"),
+        hamming_words_expr(F.col("a"), F.col("b"), 64).alias("h2"),
+    ).collect()
+    assert all(r["h1"] == r["h2"] for r in out)
