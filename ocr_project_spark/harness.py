@@ -1484,6 +1484,58 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# 39b. Media byte-feature extraction (the multimodal embedding stand-in,
+#      operators/media.py) oracle-checked: payloads are the utf-8 bytes
+#      of documents.text (pure ASCII in the testdata), so the
+#      high-nibble histogram entropy and mean byte are SQL-expressible.
+# --------------------------------------------------------------------
+def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.media import media_features
+
+    _ensure_pyfiles(spark)
+    d = T(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 300) & (F.length("text") > 0)
+    )
+    media = d.select(
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+    f = media_features(media)
+    return f.select(
+        "media_ref",
+        F.round("byte_entropy", 3).alias("byte_entropy"),
+        F.round("mean_byte", 3).alias("mean_byte"),
+    )
+
+
+_SQL_MEDIA_BYTE_STATS = """
+WITH t AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300 AND length(text) > 0
+), b AS (
+  SELECT doc_id, ord(substring(text, i, 1)) AS byte
+  FROM t, unnest(generate_series(1, length(text))) AS u(i)
+), h AS (
+  SELECT doc_id, byte // 16 AS bin, count(*) AS c FROM b GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, sum(c) AS n FROM h GROUP BY 1
+), e AS (
+  SELECT h.doc_id,
+         -sum((c * 1.0 / n) * log2(c * 1.0 / n)) AS entropy
+  FROM h JOIN tot USING (doc_id) GROUP BY h.doc_id
+), m AS (
+  SELECT doc_id, avg(byte * 1.0) AS mean_byte FROM b GROUP BY 1
+)
+SELECT 'media://' || CAST(doc_id AS varchar) AS media_ref,
+       round(entropy, 3) AS byte_entropy,
+       round(mean_byte, 3) AS mean_byte
+FROM e JOIN m USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------
 # 40. Normalization ladder (K4-K6 enhancement analog) over derived
 #     dirty text — all three tiers as columns, pure regexp codegen.
 # --------------------------------------------------------------------
@@ -1872,6 +1924,7 @@ SPARK_QUERIES = {
     "salted_counts": q_salted_counts,
     "order_rollup": q_order_rollup,
     "media_decode": q_media_decode,
+    "media_byte_stats": q_media_byte_stats,
 }
 
 ORACLE_SQL = {
@@ -1929,6 +1982,7 @@ ORACLE_SQL = {
     "normalize_text": _SQL_NORMALIZE,
     "salted_counts": _SQL_SALTED_COUNTS,
     "order_rollup": _SQL_ORDER_ROLLUP,
+    "media_byte_stats": _SQL_MEDIA_BYTE_STATS,
     # span_pipeline and media_decode intentionally have no oracle: their
     # kernels (synthetic corpus generator / fake decode) are Python-side;
     # pytest enforces span-sequence equality and decode determinism.
