@@ -731,6 +731,59 @@ FROM documents GROUP BY 1
 """.format(toks=_WORD_TOKS.format(c="text"))
 
 
+# --------------------------------------------------------------------
+# 15b. Pipeline composition: exact-dedup keeper election feeding the
+#      extraction pipeline — the canonical training-data flow (dedupe
+#      first, extract once per surviving document), both stages
+#      oracle-checked end-to-end as one query.
+# --------------------------------------------------------------------
+def q_dedup_then_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.extract import extract
+
+    d = T(spark, sf_dir, "documents")
+    keepers = DD.exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
+    kept = _derived_span_docs(spark, sf_dir).join(
+        keepers.select(F.col("doc_id").cast("string").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    return _spans_out_flat(extract(kept, None))
+
+
+_SQL_DEDUP_EXTRACT = """
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY md5(array_to_string({wtoks}, ' '))
+), t AS (
+  SELECT d.doc_id, {toks} AS toks
+  FROM documents d JOIN keep USING (doc_id)
+), c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(0, greatest(cast(ceil(len(toks)/10.0) AS int),1)-1),
+             i -> {{'idx': i,
+                   'txt': array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')}})) AS ch
+  FROM t
+), s AS (
+  SELECT doc_id, ch.idx AS idx, ch.txt AS span_text,
+         {ctoks} AS ctoks
+  FROM c
+), k AS (
+  SELECT doc_id, idx, span_text FROM s
+  WHERE len(ctoks) >= 8
+    AND len(list_filter(ctoks, x -> x = '<a>')) * 1.0 / len(ctoks) < 0.4
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS int) AS span_order,
+       span_text
+FROM k
+""".format(
+    wtoks=_WORD_TOKS.format(c="text"),
+    toks=_WS_TOKS.format(c="text"),
+    ctoks=_WS_TOKS.format(c="ch.txt"),
+)
+
+
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
     p = DD.ngram_jaccard_pairs(d, n=3, threshold=0.05)
@@ -1886,6 +1939,7 @@ SPARK_QUERIES = {
     "jaccard_adjacent": q_jaccard_adjacent,
     "union_slices": q_union_slices,
     "exact_dedup": q_exact_dedup,
+    "dedup_then_extract": q_dedup_then_extract,
     "near_dup_pairs": q_near_dup_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_sigs": q_minhash_sigs,
@@ -1947,6 +2001,7 @@ ORACLE_SQL = {
     "jaccard_adjacent": _SQL_JACCARD_ADJ,
     "union_slices": _SQL_UNION,
     "exact_dedup": _SQL_EXACT_DEDUP,
+    "dedup_then_extract": _SQL_DEDUP_EXTRACT,
     "near_dup_pairs": _SQL_NEAR_DUP,
     "minhash_lsh_pairs": _SQL_MINHASH,
     "minhash_sigs": _SQL_MINHASH_SIGS,
