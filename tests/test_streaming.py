@@ -128,3 +128,31 @@ def test_session_window_batch_sanity(spark):
         F.col("prev_end").isNotNull() & (F.col("session_start") < F.col("prev_end"))
     )
     assert bad.count() == 0
+
+
+def test_stream_extract_emits_status_rows(spark, tmp_path):
+    """The never-fail contract holds through the streaming path: a
+    malformed document in a microbatch becomes a status row in the
+    sink, and the batch still commits."""
+    docs, cands = generate_corpus(n_docs=30, base_seed=42)
+    bad = [
+        dict(doc_id="bad_null_spans", spans=None),
+        dict(doc_id="bad_span", spans=[dict(kind=None, text="x y z",
+                                            media_ref=None, offset=0)]),
+    ]
+    in_dir = str(tmp_path / "in_s")
+    out_dir = str(tmp_path / "out_s")
+    ck_dir = str(tmp_path / "ck_s")
+    _write_docs(docs + bad, f"{in_dir}/part-0001.parquet")
+    stream_extract(spark, in_dir, out_dir, ck_dir,
+                   candidates=_cands_df(spark, cands))
+    got = spark.read.parquet(out_dir)
+    status = {
+        r["doc_id"]: (r["status"]["ok"], r["status"]["reason"],
+                      len(r["spans"] or []))
+        for r in got.collect()
+    }
+    assert len(status) == 32
+    assert status["bad_null_spans"] == (False, "null_spans", 0)
+    assert status["bad_span"] == (False, "malformed_span", 0)
+    assert all(ok for d, (ok, _, _) in status.items() if not d.startswith("bad"))
