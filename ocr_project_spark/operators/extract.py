@@ -134,9 +134,13 @@ def valid_documents(docs: DataFrame) -> DataFrame:
     return docs.where(F.col("doc_id").isNotNull())
 
 
-def _with_fused_map(docs: DataFrame, candidates: DataFrame | None) -> DataFrame:
+def _with_fused_map(
+    docs: DataFrame,
+    candidates: DataFrame | None,
+    early_termination: float | None = None,
+) -> DataFrame:
     if candidates is not None:
-        fused = fuse_media_candidates(candidates)
+        fused = fuse_media_candidates(candidates, early_termination)
         fused_map = fused.groupBy("doc_id").agg(
             F.map_from_entries(
                 F.collect_list(
@@ -165,6 +169,7 @@ def extract(
     docs: DataFrame,
     candidates: DataFrame | None = None,
     passthrough: list[str] | None = None,
+    early_termination: float | None = None,
 ) -> DataFrame:
     """Full pipeline: (doc_id, spans) [+ candidates] ->
     (doc_id, spans out, status).
@@ -178,7 +183,9 @@ def extract(
     rather than a filter-split-union, which would scan the source twice;
     their join keys are null/rare so they add no shuffle skew of note.
     """
-    docs = _with_fused_map(docs.withColumn("status", doc_status_expr()), candidates)
+    docs = _with_fused_map(
+        docs.withColumn("status", doc_status_expr()), candidates, early_termination
+    )
     return docs.select(
         "doc_id",
         *(passthrough or []),

@@ -48,6 +48,7 @@ def run_pipeline(
     candidates: DataFrame | None = None,
     normalize: str | None = None,
     measure_improvement: bool = False,
+    early_termination: float | None = None,
 ) -> DataFrame:
     """Full composed pipeline.  ``normalize`` in {None, 'minimal',
     'balanced', 'enhanced', 'auto'} selects the K4-K6 output-cleanup
@@ -64,7 +65,7 @@ def run_pipeline(
     if normalize is None:
         if measure_improvement:
             raise ValueError("measure_improvement requires a normalize tier")
-        return extract(docs, candidates)
+        return extract(docs, candidates, early_termination=early_termination)
 
     from ocr_project_spark.functions import features as FT
 
@@ -81,7 +82,8 @@ def run_pipeline(
             "_strategy",
             FT.strategy_expr(FT.quality_score_expr(FT.doc_features_expr(F.col("spans")))),
         )
-        out = extract(staged, candidates, passthrough=["_strategy"])
+        out = extract(staged, candidates, passthrough=["_strategy"],
+                      early_termination=early_termination)
         normalized = F.transform(
             F.col("spans"),
             lambda s: F.struct(
@@ -94,5 +96,5 @@ def run_pipeline(
         return _finish(out, normalized)
     if normalize not in _TIERS:
         raise ValueError(f"unknown normalize tier: {normalize!r}")
-    out = extract(docs, candidates)
+    out = extract(docs, candidates, early_termination=early_termination)
     return _finish(out, _normalize_spans(F.col("spans"), normalize))

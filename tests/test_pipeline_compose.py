@@ -124,3 +124,40 @@ def test_improvement_requires_tier(dirty_corpus):
     *_, docs_df, cands_df = dirty_corpus
     with pytest.raises(ValueError, match="measure_improvement"):
         run_pipeline(docs_df, cands_df, measure_improvement=True)
+
+
+def test_extract_documents_convenience(spark, dirty_corpus, tmp_path):
+    """One-call API (reference extract_text analog): path in,
+    DataFrame out, equal to calling the operators directly; options
+    thread through."""
+    import ocr_project_spark as engine
+    from ocr_project_spark.operators.extract import extract
+
+    dirty_docs, cands, docs_df, cands_df = dirty_corpus
+    d_path = str(tmp_path / "docs_pq")
+    c_path = str(tmp_path / "cands_pq")
+    docs_df.write.parquet(d_path)
+    cands_df.write.parquet(c_path)
+
+    got = to_dict(engine.extract_documents(d_path, c_path, spark=spark))
+    want = to_dict(extract(spark.read.parquet(d_path),
+                           spark.read.parquet(c_path)))
+    assert got == want
+
+    # options thread: normalize + K7 lineage present
+    out = engine.extract_documents(
+        docs_df, cands_df, spark=spark, normalize="balanced",
+        measure_improvement=True,
+    )
+    assert "improvement" in out.columns
+    # early_termination threads into the fusion stage; the winner TEXT
+    # is unchanged by design (only confidence/method metadata differ,
+    # pinned at fusion level in test_fuse_routing), so span output
+    # stays identical while the gate is active in the plan
+    et = engine.extract_documents(
+        docs_df, cands_df, spark=spark, early_termination=0.5
+    )
+    assert to_dict(et) == got
+
+    with pytest.raises(TypeError, match="docs must be"):
+        engine.extract_documents(123, spark=spark)
