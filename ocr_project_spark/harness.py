@@ -16,12 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocr_project_spark.functions import text as TX
-from ocr_project_spark.functions.classify import (
-    is_content_expr,
-    jaccard_expr,
-    link_count_expr,
-    n_tokens_expr,
-)
+from ocr_project_spark.functions.classify import jaccard_expr
 from ocr_project_spark.functions.fuse import fuse_media_candidates
 from ocr_project_spark.operators import dedup as DD
 from ocr_project_spark.operators import similarity as SIM
