@@ -354,7 +354,9 @@ def _materialized_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    # v1: bump when _derived_candidates' definition changes, so a
+    # stale /tmp materialization can never mask a code change
+    key = hashlib.sha256(f"v1|{sf_dir}".encode()).hexdigest()[:12]
     path = f"/tmp/ocr_harness_cands_{key}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         _derived_candidates(spark, sf_dir).write.mode("overwrite").parquet(path)
