@@ -29,26 +29,46 @@ from ocr_project_spark import rules
 from ocr_project_spark.functions.classify import jaccard_expr
 
 
+def _engine_enabled(conf) -> bool:
+    """One engine's enabled flag: bare bools (yaml ``rec_a: true``) and
+    mapping form (``rec_a: {enabled: false}``) both accepted; anything
+    else (None, unknown shapes) means enabled — matching fusion itself,
+    which tolerates unknown engines (DEFAULT_PRIORITY)."""
+    if isinstance(conf, bool):
+        return conf
+    if isinstance(conf, dict):
+        return bool(conf.get("enabled", True))
+    return True
+
+
 def enabled_engines(cfg) -> list[str]:
-    """Engines whose config flag is on (reference engines.yaml enabled
-    map, utils/config.py:84-96 + engine_manager availability checks at
-    engine_manager.py:68-84)."""
+    """Configured engines whose flag is on (reference engines.yaml
+    enabled map, utils/config.py:84-96 + engine_manager availability
+    checks at engine_manager.py:68-84).  Only lists engines that appear
+    in the config — absence from this list does NOT mean disabled."""
     engines = (cfg.get("engines") if cfg is not None else None) or {}
-    return sorted(
-        name for name, conf in engines.items()
-        if isinstance(conf, dict) and conf.get("enabled", True)
-    )
+    return sorted(n for n, conf in engines.items() if _engine_enabled(conf))
+
+
+def disabled_engines(cfg) -> list[str]:
+    """Engines the config explicitly turns off."""
+    engines = (cfg.get("engines") if cfg is not None else None) or {}
+    return sorted(n for n, conf in engines.items() if not _engine_enabled(conf))
 
 
 def filter_enabled_candidates(cands: DataFrame, cfg) -> DataFrame:
-    """F6/F7 availability filter: drop candidate rows from disabled
-    engines BEFORE fusion — the batch analog of the reference never
-    invoking a disabled engine.  The equality predicate is an isin over
-    a config-sized list, so it pushes down to the parquet scan."""
-    engines = (cfg.get("engines") if cfg is not None else None) or {}
-    if not engines:
+    """F6/F7 availability filter: drop candidate rows from explicitly
+    DISABLED engines before fusion — the batch analog of the reference
+    never invoking a disabled engine.  Engines absent from the config
+    map pass through: fusion tolerates unknown engines (priority
+    DEFAULT_PRIORITY), so an isin-whitelist here would silently drop a
+    real engine's data whenever the config enumerates fewer engines
+    than the candidates table contains.  The NOT-isin predicate is
+    config-sized, so it still pushes down to the candidate scan."""
+    dis = disabled_engines(cfg)
+    if not dis:
         return cands
-    return cands.where(F.col("engine").isin(enabled_engines(cfg)))
+    return cands.where(~F.col("engine").isin(dis) | F.col("engine").isNull())
 
 
 def priority_expr(engine: Column) -> Column:
@@ -232,8 +252,16 @@ def fuse_media_candidates_routed(
     # keys: the early_out aggregate subtree is then consumed twice with
     # an IDENTICAL shuffle, so Spark's ReuseExchange computes the route
     # aggregate once (a where(~early) semi-join variant would build a
-    # second, different aggregate subtree and recompute it).
+    # second, different aggregate subtree and recompute it).  The join
+    # must be NULL-SAFE: groupBy puts null doc_id/offset keys in a real
+    # group, so an early null group's rows would otherwise also survive
+    # the plain anti-join (null keys never equi-match) and be fused a
+    # second time — duplicating output rows vs the single-pass form.
+    e = early_out.select("doc_id", "offset")
     rest = cands.join(
-        early_out.select("doc_id", "offset"), ["doc_id", "offset"], "left_anti"
+        e,
+        cands["doc_id"].eqNullSafe(e["doc_id"])
+        & cands["offset"].eqNullSafe(e["offset"]),
+        "left_anti",
     )
     return fuse_media_candidates(rest).unionByName(early_out)

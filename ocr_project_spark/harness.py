@@ -1851,7 +1851,7 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PROPS_JSON = """
 SELECT event_type,
-       sum(CAST(props->>'k' AS bigint)) AS k_total,
+       CAST(sum(CAST(props->>'k' AS bigint)) AS bigint) AS k_total,
        round(avg(CAST(props->>'k' AS bigint)), 3) AS k_avg,
        count(*) FILTER (props->>'k' IS NULL) AS k_missing
 FROM events GROUP BY event_type
@@ -1921,9 +1921,9 @@ WITH t AS (
 )
 SELECT reason = 'none' AS ok, reason,
        count(*) AS n_docs,
-       sum(CASE WHEN reason = 'none' AND ntok >= 8
-                     AND nlink * 1.0 / ntok < 0.4
-                THEN 1 ELSE 0 END) AS n_spans
+       CAST(sum(CASE WHEN reason = 'none' AND ntok >= 8
+                          AND nlink * 1.0 / ntok < 0.4
+                     THEN 1 ELSE 0 END) AS bigint) AS n_spans
 FROM t GROUP BY 1, 2
 """.format(toks=_WS_TOKS.format(c="text"))
 

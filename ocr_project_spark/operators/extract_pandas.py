@@ -49,7 +49,9 @@ def _doc_statuses(doc_ids: np.ndarray, spans_col: list) -> list[str | None]:
             out[i] = "null_doc_id"
         elif s is None:
             out[i] = "null_spans"
-        elif any(d["offset"] is None or d["kind"] is None for d in s):
+        elif any(
+            d is None or d["offset"] is None or d["kind"] is None for d in s
+        ):
             out[i] = "malformed_span"
     return out
 

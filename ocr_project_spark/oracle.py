@@ -109,7 +109,7 @@ def doc_status(doc: dict) -> tuple[bool, str | None]:
     if doc.get("spans") is None:
         return False, "null_spans"
     for s in doc["spans"]:
-        if s.get("offset") is None or s.get("kind") is None:
+        if s is None or s.get("offset") is None or s.get("kind") is None:
             return False, "malformed_span"
     return True, None
 

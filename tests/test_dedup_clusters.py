@@ -274,3 +274,35 @@ def test_hamming_forms_identical(spark):
         hamming_words_expr(F.col("a"), F.col("b"), 64).alias("h2"),
     ).collect()
     assert all(r["h1"] == r["h2"] for r in out)
+
+
+def test_simhash_forms_agree_on_null_and_empty_text(spark):
+    """Column form (simhash_signature) and DataFrame form
+    (simhash_signatures) must stay bit-for-bit identical on degenerate
+    inputs: null text and empty text both tokenize to the empty set
+    (word_tokens coalesces), yielding the all-'1' zero-vote signature
+    in BOTH forms."""
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.dedup import (
+        simhash_signature,
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", ""), ("c", "   "), ("d", "hello world")],
+        "doc_id string, text string",
+    )
+    for bits in (16, 64):
+        col_form = {
+            r["doc_id"]: r["sig"]
+            for r in df.select(
+                "doc_id", simhash_signature(F.col("text"), bits).alias("sig")
+            ).collect()
+        }
+        df_form = {
+            r["id"]: r["sig"]
+            for r in simhash_signatures(df, "doc_id", "text", bits=bits).collect()
+        }
+        assert col_form == df_form
+        assert col_form["a"] == col_form["b"] == "1" * bits

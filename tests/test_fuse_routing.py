@@ -66,6 +66,55 @@ def test_matches_python_mirror(corpus, corpus_dfs):
     assert got == want
 
 
+def test_routed_null_keys_not_duplicated(spark):
+    """A candidate group keyed by null doc_id/offset that clears the
+    early gate must emit ONCE: groupBy places null keys in a real
+    group, so the rest-side anti-join has to be null-safe or the same
+    rows are fused a second time."""
+    rows = [
+        (None, None, "rec_a", "null key winner", 0.99),
+        (None, None, "rec_b", "null key loser", 0.20),
+        ("d1", 0, "rec_a", "normal early", 0.98),
+        ("d2", None, "rec_a", "null offset slow", 0.30),
+        ("d2", None, "rec_b", "null offset slow", 0.25),
+    ]
+    cands = spark.createDataFrame(
+        rows, "doc_id string, offset int, engine string, text string, "
+              "confidence double"
+    )
+    routed = fuse_media_candidates_routed(cands, 0.5)
+    gated = fuse_media_candidates(cands, early_termination=0.5)
+    assert to_dict(routed) == to_dict(gated)
+    assert routed.count() == 3  # one row per key group — no dupes
+
+
+def test_unknown_engines_pass_filter(spark):
+    """Engines absent from the config map (and bool-form yaml values)
+    must not lose data: only explicitly disabled engines are dropped."""
+    from ocr_project_spark.config import load_config
+    from ocr_project_spark.functions.fuse import (
+        disabled_engines,
+        enabled_engines,
+        filter_enabled_candidates,
+    )
+
+    cands = spark.createDataFrame(
+        [("d1", 0, "rec_a", "a", 0.9),
+         ("d1", 0, "rec_exotic", "x", 0.8),
+         ("d1", 0, "rec_b", "b", 0.7)],
+        "doc_id string, offset int, engine string, text string, "
+        "confidence double",
+    )
+    cfg = load_config(overrides=["engines.rec_b=false"])  # bool form
+    kept = {r["engine"] for r in filter_enabled_candidates(cands, cfg).collect()}
+    assert kept == {"rec_a", "rec_exotic"}
+    assert disabled_engines(cfg) == ["rec_b"]
+    assert "rec_b" not in enabled_engines(cfg)
+    # no disabled engines -> identity (unknown engines untouched)
+    cfg_all = load_config()
+    assert filter_enabled_candidates(cands, cfg_all) is cands
+
+
 def test_engine_availability_filter(corpus, corpus_dfs):
     """F6/F7: candidates from config-disabled engines never reach
     fusion — equivalent to fusing the python-filtered candidate set."""

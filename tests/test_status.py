@@ -2,8 +2,10 @@
 dropped rows (reference pipeline.py:286-309 / engine_manager.py:132-142
 turn per-item errors into error results; a batch never dies).
 
-All three physical paths (HOF plan, chunked plan, pandas engine) and
-the pure-Python oracle must agree doc-for-doc on (ok, reason, spans).
+All four physical paths (HOF plan, chunked plan, pandas engine, arrow
+engine) and the pure-Python oracle must agree doc-for-doc on
+(ok, reason, spans) — including on a null span *element*, which every
+path must classify as malformed_span rather than crash.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ def bad_corpus(spark):
         ("d_null_spans", None),                                    # null_spans
         ("d_bad_offset", [("text", "x y z w q r s t", None, None)]),  # malformed
         ("d_bad_kind", [(None, "x y z w q r s t", None, 0)]),      # malformed
+        ("d_null_elem", [None]),                                   # malformed
         ("d_ok", [("text", "one two three four five six seven eight", None, 0)]),
         ("d_empty", []),                                           # ok, empty out
     ]
@@ -44,6 +47,7 @@ EXPECTED = {
     "d_null_spans": (False, "null_spans", []),
     "d_bad_offset": (False, "malformed_span", []),
     "d_bad_kind": (False, "malformed_span", []),
+    "d_null_elem": (False, "malformed_span", []),
     "d_ok": (
         True,
         None,
@@ -68,6 +72,13 @@ def test_pandas_path_emits_status_rows(bad_corpus):
     assert got == EXPECTED
 
 
+def test_arrow_path_emits_status_rows(bad_corpus):
+    from ocr_project_spark.operators.extract_arrow import extract_arrow_engine
+
+    got = collect_status(extract_arrow_engine(bad_corpus, None))
+    assert got == EXPECTED
+
+
 def test_python_oracle_statuses_agree(bad_corpus):
     rows = [
         dict(
@@ -75,8 +86,10 @@ def test_python_oracle_statuses_agree(bad_corpus):
             spans=None
             if r["spans"] is None
             else [
-                dict(kind=s["kind"], text=s["text"], media_ref=s["media_ref"],
-                     offset=s["offset"])
+                None
+                if s is None
+                else dict(kind=s["kind"], text=s["text"],
+                          media_ref=s["media_ref"], offset=s["offset"])
                 for s in r["spans"]
             ],
         )
@@ -99,15 +112,15 @@ def test_checkpoint_metrics_count_errors(spark, bad_corpus, tmp_path):
                    bucket_batch_size=2)
     met = checkpoint.read_metrics(spark, out_dir)
     total_err = met.groupBy().sum("errors").collect()[0][0]
-    assert total_err == 4  # the four invalid fixture docs
+    assert total_err == 5  # the five invalid fixture docs
 
     # and the observe()-based counters see them too
     from ocr_project_spark.plans import metrics
 
     observed_out, obs = metrics.observed(extract(bad_corpus, None))
     observed_out.write.format("noop").mode("overwrite").save()
-    assert obs.get["error_docs"] == 4
-    assert obs.get["docs"] == 6
+    assert obs.get["error_docs"] == 5
+    assert obs.get["docs"] == 7
 
 
 def test_resume_with_changed_buckets_rejected(spark, bad_corpus, tmp_path):
