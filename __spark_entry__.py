@@ -1,9 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  — flagship extraction on sf0.001.
-queries()     — one callable per implemented operator (SURVEY.md §2),
-                implemented in ocr_project_spark/harness.py.
-oracle_sql()  — matching DuckDB SQL strings.
+queries()     — 50 callables covering the implemented operators
+                (SURVEY.md §2), implemented in
+                ocr_project_spark/harness.py; every entry has an
+                oracle.  Near-duplicate demos (engine-path variants,
+                standalone forms of merged queries, by-design-no-oracle
+                queries) live in harness.LOCAL_QUERIES and stay
+                verified by tools/compare_oracle.py + pytest.
+oracle_sql()  — matching DuckDB SQL strings (one per query).
 """
 
 from __future__ import annotations

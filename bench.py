@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "weighted_confidence",
     "region_revenue",
     "exact_dedup",
+    "dedup_then_extract",
+    "retry_routing",
     "minhash_lsh_pairs",
     "simhash64_pairs",
     "cosine_topk",
@@ -123,8 +125,10 @@ def main() -> None:
     timings["extract_pipeline_bucketed"] = round(dtb, 3)
     docs_per_sec_bucketed = round(N_BENCH_DOCS / dtb, 1)
 
-    # the Arrow/pandas-UDF engine path (python-kernel tier) on the same
-    # corpus — quantifies the cost of leaving the JVM per batch
+    # the legacy vectorized-pandas kernel (compatibility escape hatch
+    # for pandas-in/out learned-model classifiers; the pandas API's
+    # default kernel now routes through the arrow path below) —
+    # tracked to quantify the Arrow->python-dict nested-struct tax
     from ocr_project_spark.harness import _ensure_pyfiles
     from ocr_project_spark.operators.extract_pandas import extract_pandas_engine
 
@@ -132,9 +136,9 @@ def main() -> None:
     dtp = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        _noop_sink(extract_pandas_engine(docs, cands))
+        _noop_sink(extract_pandas_engine(docs, cands, kernel="pandas"))
         dtp = min(dtp, time.perf_counter() - t0)
-    timings["extract_pipeline_pandas_udf"] = round(dtp, 3)
+    timings["extract_pipeline_pandas_kernel"] = round(dtp, 3)
 
     # the zero-copy mapInArrow engine path: python kernel without the
     # Arrow->pandas nested-dict conversion tax

@@ -71,6 +71,62 @@ def filter_enabled_candidates(cands: DataFrame, cfg) -> DataFrame:
     return cands.where(~F.col("engine").isin(dis) | F.col("engine").isNull())
 
 
+def engine_languages(cfg) -> dict[str, list[str] | None]:
+    """Per-engine supported-language lists from config (reference
+    base_engine.py:43-82 ``get_supported_languages`` + the language
+    lists in resources/engines.yaml).  None = engine supports every
+    language (no ``languages`` key configured)."""
+    engines = (cfg.get("engines") if cfg is not None else None) or {}
+    out: dict[str, list[str] | None] = {}
+    for name, conf in engines.items():
+        langs = conf.get("languages") if isinstance(conf, dict) else None
+        out[name] = [str(x) for x in langs] if langs is not None else None
+    return out
+
+
+def filter_candidates_by_language(
+    cands: DataFrame, doc_langs: DataFrame, cfg
+) -> DataFrame:
+    """Language-based candidate filter: drop a candidate row when the
+    document's language guess is KNOWN and the candidate's engine
+    explicitly does not list it (reference base_engine.py:43-82 — an
+    engine only runs for languages it supports).  Conservative on
+    uncertainty: engines with no configured ``languages`` list, docs
+    with no/null language row, and unlisted engines all pass through —
+    only provably-unsupported pairs are dropped, mirroring
+    filter_enabled_candidates' only-drop-explicit semantics.
+
+    ``doc_langs`` is (doc_id, lang_guess) — corpus language ID (e.g.
+    functions.text.lang_guess).  The support predicate is a
+    config-sized CASE over literals, evaluated after an equi-join on
+    doc_id; at scale doc_langs is derived from the same corpus, so the
+    join co-partitions with the candidate shuffle (or broadcasts when
+    the language table is a small sample)."""
+    langs_by_engine = {
+        n: ls for n, ls in engine_languages(cfg).items() if ls is not None
+    }
+    if not langs_by_engine:
+        return cands
+    cond = None
+    for name, langs in sorted(langs_by_engine.items()):
+        ok = F.col("_lang_guess").isNull() | F.col("_lang_guess").isin(langs)
+        cond = (
+            F.when(F.col("engine") == name, ok)
+            if cond is None
+            else cond.when(F.col("engine") == name, ok)
+        )
+    supported = cond.otherwise(F.lit(True))
+    dl = doc_langs.select(
+        F.col("doc_id").alias("_lang_doc_id"),
+        F.col("lang_guess").alias("_lang_guess"),
+    )
+    return (
+        cands.join(dl, cands["doc_id"] == dl["_lang_doc_id"], "left")
+        .where(supported)
+        .drop("_lang_doc_id", "_lang_guess")
+    )
+
+
 def priority_expr(engine: Column) -> Column:
     """Engine tie-break priority (rules.ENGINE_PRIORITY), small = wins."""
     mapping = F.create_map(
@@ -265,3 +321,81 @@ def fuse_media_candidates_routed(
         "left_anti",
     )
     return fuse_media_candidates(rest).unionByName(early_out)
+
+
+def fuse_with_retry(
+    cands: DataFrame,
+    retry_cands: DataFrame,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Two-pass recognition with a confidence-gated retry — the batch
+    analog of the reference's PSM fallback (tesseract.py:111-143: run
+    the configured PSM, and when no regions came back or the average
+    confidence is < 0.3, run an alternative-PSM pass and keep whichever
+    result is MORE confident).
+
+    ``retry_cands`` is the alternative-configuration recognition pass
+    (same candidate schema).  Dataflow, the vectorized "retry on the
+    low-confidence subset of the batch" (SURVEY section 4):
+
+      pass 1   fuse_media_candidates(cands) over every span
+      route    fused confidence < threshold  (0.3, the reference gate;
+               a fallback_best_of_failed span is naturally below it,
+               covering the reference's empty-regions arm)
+      pass 2   fuse the retry candidates for ONLY the routed spans —
+               the retry table is semi-joined down to the residue
+               first, so the second fusion's shuffle carries the
+               low-confidence subset, not the corpus
+      winner   the retry result replaces pass 1 iff STRICTLY more
+               confident (tesseract.py:131-141 ``avg_conf_2 >
+               best_confidence``); its method gains a ``retry_``
+               prefix so routing is observable downstream
+
+    Scale: both fusions and the final join hash the same
+    (doc_id, offset) key; with a threshold that routes p of the spans,
+    pass 2 costs O(p * |retry_cands|).  All key joins are null-safe,
+    consistent with fuse_media_candidates_routed.
+    """
+    out_cols = ["doc_id", "offset", "text", "confidence", "method", "n_consensus"]
+    p1 = fuse_media_candidates(cands)
+    gate = F.col("confidence") < F.lit(float(threshold))
+    low = p1.where(gate)
+    high = p1.where(~gate)
+
+    low_keys = low.select("doc_id", "offset")
+    r = retry_cands.join(
+        low_keys,
+        retry_cands["doc_id"].eqNullSafe(low_keys["doc_id"])
+        & retry_cands["offset"].eqNullSafe(low_keys["offset"]),
+        "left_semi",
+    )
+    p2 = fuse_media_candidates(r).select(
+        F.col("doc_id").alias("r_doc_id"),
+        F.col("offset").alias("r_offset"),
+        F.col("text").alias("r_text"),
+        F.col("confidence").alias("r_confidence"),
+        F.col("method").alias("r_method"),
+        F.col("n_consensus").alias("r_n_consensus"),
+    )
+    joined = low.join(
+        p2,
+        low["doc_id"].eqNullSafe(p2["r_doc_id"])
+        & low["offset"].eqNullSafe(p2["r_offset"]),
+        "left",
+    )
+    better = F.col("r_confidence") > F.col("confidence")
+    retried = joined.select(
+        "doc_id",
+        "offset",
+        F.when(better, F.col("r_text")).otherwise(F.col("text")).alias("text"),
+        F.when(better, F.col("r_confidence"))
+        .otherwise(F.col("confidence"))
+        .alias("confidence"),
+        F.when(better, F.concat(F.lit("retry_"), F.col("r_method")))
+        .otherwise(F.col("method"))
+        .alias("method"),
+        F.when(better, F.col("r_n_consensus"))
+        .otherwise(F.col("n_consensus"))
+        .alias("n_consensus"),
+    )
+    return high.select(*out_cols).unionByName(retried.select(*out_cols))

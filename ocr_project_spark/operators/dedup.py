@@ -188,6 +188,71 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH duplicate clusters with the identical-signature
+    hot-bucket guard — the MinHash counterpart of ``simhash_clusters``
+    (same hazard, same fix): docs sharing a FULL k-hash signature are
+    mutual near-dup candidates by construction and never need pairwise
+    enumeration, so each signature group collapses to its min-id
+    representative BEFORE the band self-join, and the members rejoin
+    the graph as (member -> representative) star edges.  On
+    boilerplate-heavy corpora — exactly where dedup matters — the band
+    join cost drops from sum-of-docs^2 to sum-of-distinct-sigs^2 per
+    bucket.
+
+    Clusters are IDENTICAL to
+    ``duplicate_clusters(minhash_lsh_pairs(df))`` (pinned by test):
+    identical-signature members share every band bucket with their
+    representative, so the star edges reconnect exactly the paths the
+    collapse removed."""
+    rows = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    sig_key = F.md5(F.array_join(F.col("sig"), "|")).alias("sig_key")
+    keyed = sigs.select("id", "sig", sig_key)
+    reps = keyed.groupBy("sig_key").agg(
+        F.min("id").alias("rep_id"), F.first("sig").alias("sig")
+    )
+    member_edges = (
+        keyed.select("id", "sig_key")
+        .join(reps.select("sig_key", "rep_id"), "sig_key")
+        .where(F.col("id") != F.col("rep_id"))
+        .select(F.col("id").alias("id_a"), F.col("rep_id").alias("id_b"))
+    )
+    banded = reps.select(
+        F.col("rep_id").alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("sig"), b * rows + 1, rows), "|"
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    rep_pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return duplicate_clusters_star(rep_pairs.unionByName(member_edges))
+
+
 # ---------------------------------------------------------------- simhash
 def simhash_signature(text: Column, bits: int = 64) -> Column:
     """SimHash bit-string over the distinct word-token set.

@@ -306,3 +306,35 @@ def test_simhash_forms_agree_on_null_and_empty_text(spark):
         }
         assert col_form == df_form
         assert col_form["a"] == col_form["b"] == "1" * bits
+
+
+def test_minhash_clusters_match_naive_pair_path(spark, corpus_dfs):
+    """minhash_clusters (identical-signature collapse + rep-only band
+    join, the MinHash counterpart of simhash_clusters' hot-bucket
+    guard) must produce exactly the clusters of the naive
+    minhash_lsh_pairs-then-cluster path."""
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.dedup import (
+        minhash_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs_df, _ = corpus_dfs
+    flat = docs_df.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.coalesce(F.col("spans"), F.array()),
+                        lambda s: F.coalesce(s["text"], F.lit(""))),
+            " ",
+        ).alias("text"),
+    )
+    naive_pairs = minhash_lsh_pairs(flat, n=3, k=16, bands=8)
+    rows = [(r["id_a"], r["id_b"]) for r in naive_pairs.collect()]
+    assert rows, "fixture corpus should contain minhash near-dups"
+    want = union_find(rows)
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in minhash_clusters(flat, n=3, k=16, bands=8).collect()
+    }
+    assert canon(got) == canon(want)

@@ -32,7 +32,7 @@ def to_dict(df):
 def test_pandas_engine_matches_hof(corpus_dfs):
     docs_df, cands_df = corpus_dfs
     hof = to_dict(extract(docs_df, cands_df))
-    eng = to_dict(extract_pandas_engine(docs_df, cands_df))
+    eng = to_dict(extract_pandas_engine(docs_df, cands_df, kernel="pandas"))
     assert set(hof) == set(eng)
     bad = [k for k in hof if hof[k] != eng[k]]
     assert not bad, f"{len(bad)} docs differ; first: {bad[0]}: {hof[bad[0]][:3]} vs {eng[bad[0]][:3]}"
@@ -41,8 +41,31 @@ def test_pandas_engine_matches_hof(corpus_dfs):
 def test_pandas_engine_no_candidates(corpus_dfs):
     docs_df, _ = corpus_dfs
     hof = to_dict(extract(docs_df, None))
-    eng = to_dict(extract_pandas_engine(docs_df, None))
+    eng = to_dict(extract_pandas_engine(docs_df, None, kernel="pandas"))
     assert hof == eng
+
+
+def test_default_kernel_routes_to_arrow(corpus_dfs):
+    """kernel='auto' + the built-in classifier must take the arrow
+    kernel (the recommended python route) and still match the forced
+    pandas kernel row-for-row; a custom classifier under 'arrow' is a
+    loud error, not a silent fallback."""
+    import pytest as _pytest
+
+    docs_df, cands_df = corpus_dfs
+    auto = to_dict(extract_pandas_engine(docs_df, cands_df))
+    forced_pandas = to_dict(
+        extract_pandas_engine(docs_df, cands_df, kernel="pandas")
+    )
+    assert auto == forced_pandas
+
+    def keep_all(s: pd.Series) -> np.ndarray:
+        return np.ones(len(s), dtype=bool)
+
+    with _pytest.raises(ValueError, match="arrow"):
+        extract_pandas_engine(docs_df, None, classifier=keep_all, kernel="arrow")
+    with _pytest.raises(ValueError, match="kernel"):
+        extract_pandas_engine(docs_df, None, kernel="vectorized")
 
 
 def test_density_classifier_matches_rules():

@@ -153,3 +153,103 @@ def test_availability_filter_pushes_to_scan(spark, corpus_dfs, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "engine" in plan, plan
+
+
+def test_retry_matches_python_mirror(corpus, corpus_dfs, spark):
+    """fuse_with_retry == python two-pass mirror: pass 1 fuse, re-fuse
+    the retry candidates for spans whose pass-1 confidence < threshold,
+    keep the retry result iff strictly more confident (reference
+    tesseract.py:111-143 PSM fallback)."""
+    from ocr_project_spark.functions.fuse import fuse_with_retry
+
+    _, cands = corpus
+    _, cands_df = corpus_dfs
+    THRESH_R = 0.6
+
+    # deterministic alternative-configuration pass: one candidate per key
+    by_key = defaultdict(list)
+    for c in cands:
+        by_key[(c["doc_id"], c["offset"])].append(c)
+    retry_rows = []
+    for (doc_id, offset), group in sorted(by_key.items()):
+        t = group[0]["text"] or ""
+        conf = ((len(t) * 13 + (offset or 0) * 7) % 90) / 100.0 + 0.05
+        retry_rows.append((doc_id, offset, "rec_retry", t, conf))
+    retry_df = spark.createDataFrame(
+        retry_rows,
+        "doc_id string, offset int, engine string, text string, "
+        "confidence double",
+    )
+
+    got = to_dict(fuse_with_retry(cands_df, retry_df, threshold=THRESH_R))
+
+    want = {}
+    retried = 0
+    for i, (key, group) in enumerate(sorted(by_key.items())):
+        p1 = oracle.fuse_candidates(group)
+        res = p1
+        if p1["confidence"] < THRESH_R:
+            p2 = oracle.fuse_candidates([dict(
+                doc_id=key[0], offset=key[1], engine="rec_retry",
+                text=retry_rows[i][3], confidence=retry_rows[i][4],
+            )])
+            if p2["confidence"] > p1["confidence"]:
+                res = dict(p2, method="retry_" + p2["method"])
+                retried += 1
+        want[key] = (
+            res["text"],
+            round(res["confidence"], 9),
+            res["method"],
+            res["n_consensus"],
+        )
+    assert got == want
+    assert retried > 0                      # the gate actually routed
+    assert any(v[2].startswith("retry_") for v in got.values())
+    assert any(not v[2].startswith("retry_") for v in got.values())
+
+
+def test_language_filter_matches_python(spark):
+    """filter_candidates_by_language drops exactly the
+    (engine has a languages list) AND (doc lang known) AND (lang not
+    listed) rows; everything uncertain passes through."""
+    from ocr_project_spark.functions.fuse import filter_candidates_by_language
+
+    cands_rows = [
+        ("d_en", 0, "rec_a", "x", 0.9),     # en in rec_a list -> keep
+        ("d_en", 0, "rec_c", "x", 0.9),     # en not in rec_c list -> drop
+        ("d_fr", 0, "rec_a", "x", 0.9),     # fr not in rec_a list -> drop
+        ("d_fr", 0, "rec_b", "x", 0.9),     # rec_b unconstrained -> keep
+        ("d_fr", 0, "rec_new", "x", 0.9),   # engine not in config -> keep
+        ("d_nolang", 0, "rec_a", "x", 0.9), # no lang row -> keep
+        ("d_null", 0, "rec_c", "x", 0.9),   # null lang guess -> keep
+    ]
+    cands = spark.createDataFrame(
+        cands_rows,
+        "doc_id string, offset int, engine string, text string, "
+        "confidence double",
+    )
+    doc_langs = spark.createDataFrame(
+        [("d_en", "en"), ("d_fr", "fr"), ("d_null", None)],
+        "doc_id string, lang_guess string",
+    )
+    cfg = {
+        "engines": {
+            "rec_a": {"languages": ["en"]},
+            "rec_b": {"enabled": True},           # no languages key
+            "rec_c": {"languages": ["de", "nl"]},
+        }
+    }
+    out = filter_candidates_by_language(cands, doc_langs, cfg)
+    assert sorted(out.columns) == sorted(cands.columns)
+    got = {(r["doc_id"], r["engine"]) for r in out.collect()}
+    assert got == {
+        ("d_en", "rec_a"),
+        ("d_fr", "rec_b"),
+        ("d_fr", "rec_new"),
+        ("d_nolang", "rec_a"),
+        ("d_null", "rec_c"),
+    }
+    # no language constraints anywhere -> identity
+    assert filter_candidates_by_language(
+        cands, doc_langs, {"engines": {"rec_a": {"enabled": True}}}
+    ) is cands

@@ -68,7 +68,7 @@ def test_chunked_path_emits_status_rows(bad_corpus):
 
 
 def test_pandas_path_emits_status_rows(bad_corpus):
-    got = collect_status(extract_pandas_engine(bad_corpus, None))
+    got = collect_status(extract_pandas_engine(bad_corpus, None, kernel="pandas"))
     assert got == EXPECTED
 
 

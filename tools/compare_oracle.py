@@ -59,7 +59,15 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    from ocr_project_spark import harness
+
+    # driver-facing contract first, then the locally-verified fold-outs
+    qs = dict(entrymod.queries())
+    osql = dict(entrymod.oracle_sql())
+    for k, v in harness.LOCAL_QUERIES.items():
+        qs.setdefault(k, v)
+    for k, v in harness.LOCAL_ORACLE_SQL.items():
+        osql.setdefault(k, v)
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
