@@ -482,8 +482,13 @@ def _derived_retry_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_retry_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.functions.fuse import fuse_with_retry
 
+    # Materialized candidates for the primary pass: fuse_with_retry's
+    # split consumes the candidate source from two branches (pass-1
+    # fusion + the residue semi-join), and the static planner cannot
+    # dedupe a live derivation across them — same lesson as
+    # q_fusion_routing (measured there, round 2).
     fused = fuse_with_retry(
-        _derived_candidates(spark, sf_dir),
+        _materialized_candidates(spark, sf_dir),
         _derived_retry_candidates(spark, sf_dir),
         threshold=0.3,
     )

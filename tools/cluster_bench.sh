@@ -42,7 +42,7 @@ spark = get_spark(app_name=f"cluster-scale-{cores}", master="spark://127.0.0.1:7
 docs, cands = read_bucketed(spark, "/tmp/ocr_scaling_bench_r384/bucketed", n_buckets=64)
 n = docs.count()
 times = []
-for i in range(6):
+for i in range(8):
     t0 = time.monotonic()
     extract(docs, cands).write.format("noop").mode("overwrite").save()
     times.append(round(time.monotonic() - t0, 3))
