@@ -354,7 +354,12 @@ def fuse_with_retry(
     Scale: both fusions and the final join hash the same
     (doc_id, offset) key; with a threshold that routes p of the spans,
     pass 2 costs O(p * |retry_cands|).  All key joins are null-safe,
-    consistent with fuse_media_candidates_routed.
+    consistent with fuse_media_candidates_routed.  The pass-1 result is
+    consumed by three branches (high route, low route, residue keys);
+    Spark's ReuseExchange dedupes the underlying shuffle, but a
+    production run that feeds LIVE (non-materialized) candidates
+    should persist/checkpoint pass 1 first — same guidance as
+    fuse_media_candidates_routed's materialized-table regime.
     """
     out_cols = ["doc_id", "offset", "text", "confidence", "method", "n_consensus"]
     p1 = fuse_media_candidates(cands)
