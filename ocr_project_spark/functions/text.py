@@ -36,20 +36,31 @@ def word_tokens(text: Column) -> Column:
     )
 
 
+def chunk_tokens(toks: Column, k: int = 10) -> Column:
+    """Consecutive k-token chunk strings over a token-array column.
+
+    Callers should MATERIALIZE the token array in a projection first
+    and pass the column reference: the chunking lambda references the
+    array once per chunk, so an inline ``tokens(text)`` expression
+    re-tokenizes the document per chunk (measured 1.8x slower on the
+    sf0.1 corpus), while a projected column is computed once per row
+    (CollapseProject keeps multi-referenced non-cheap projections)."""
+    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+
+
 def chunk_spans(text: Column, k: int = 10) -> Column:
     """Derive a span array from flat text: consecutive k-token chunks.
 
     FIXTURES.md section 5: the driver's ``documents`` table has flat
     text; this deterministic chunking gives harness queries the same
-    span shape as the native corpus.
-    """
-    toks = tokens(text)
-    n = F.size(toks)
-    n_chunks = F.ceil(n / F.lit(k)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
-        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
-    )
+    span shape as the native corpus.  Convenience form — prefer
+    projecting ``tokens(text)`` and calling ``chunk_tokens`` on the
+    column (see that docstring for the cost note)."""
+    return chunk_tokens(tokens(text), k)
 
 
 def quality_score(text: Column, link_token: str = "a") -> Column:
@@ -148,7 +159,12 @@ def distinct_token_count(df, text_col: str = "text", approximate: bool = True,
     """
     from pyspark.sql import functions as _F
 
-    toks = df.select(_F.explode(word_tokens(_F.col(text_col))).alias("tok"))
+    # explode_outer: avoids the optimizer duplicating the tokenizer
+    # into a pushed size>0 filter; both aggregates ignore the null row
+    # an empty token array contributes.
+    toks = df.select(
+        _F.explode_outer(word_tokens(_F.col(text_col))).alias("tok")
+    )
     agg = (
         _F.approx_count_distinct("tok", rsd=rsd)
         if approximate

@@ -130,7 +130,15 @@ def minhash_signatures(
     single pass (the Column form re-walks the shingle array per hash
     key)."""
     sh = shingles(F.col(text_col), n)
-    ex = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("_s"))
+    # explode_outer, not explode: plain explode makes the optimizer
+    # infer `size(shingles(text)) > 0` and push it down, duplicating
+    # the shingle build into an interpreted scan Filter (shingles is
+    # never empty, so the inferred filter is pure waste); the
+    # isNotNull post-filter restores exact explode semantics.
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(sh).alias("_s"))
+        .where(F.col("_s").isNotNull())
+    )
     agg = ex.groupBy("id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")))).alias(f"_h{i}")
