@@ -27,6 +27,7 @@ ENGINE_DEFAULTS: dict[str, Any] = {
         "normalize": None,            # K4-K6 tier or "auto"
         "measure_improvement": False, # K7 lineage column
         "early_termination": None,    # fusion confidence short-circuit
+        "retry_threshold": 0.3,       # PSM-retry gate (fuse_with_retry)
         "chunk_mega_docs": False,
         "mega_span_threshold": 256,
     },

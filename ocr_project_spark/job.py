@@ -74,6 +74,14 @@ def build_parser(cfg=None) -> argparse.ArgumentParser:
                    choices=["minimal", "balanced", "enhanced", "auto"],
                    help="K4-K6 output-cleanup tier; 'auto' routes per-doc "
                         "by the K1-K3 quality strategy")
+    p.add_argument("--retry-candidates", default=None,
+                   help="parquet path of an alternative-configuration "
+                        "recognition pass: media fusion runs the two-pass "
+                        "PSM-retry analog (functions/fuse.fuse_with_retry) — "
+                        "spans fused below --retry-threshold are re-fused "
+                        "over these candidates and the better result wins")
+    p.add_argument("--retry-threshold", type=float,
+                   default=c("extract.retry_threshold", 0.3))
     return p
 
 
@@ -141,11 +149,37 @@ def main(argv: list[str] | None = None) -> int:
 
         cands = filter_enabled_candidates(cands, cfg)
 
+    retry_cands = (
+        spark.read.parquet(args.retry_candidates)
+        if args.retry_candidates
+        else None
+    )
+    if retry_cands is not None and cands is None:
+        build_parser().error("--retry-candidates requires a candidates input")
+    if retry_cands is not None and not args.no_checkpoint:
+        # checkpointed buckets re-fuse per batch; plumbing the two-pass
+        # form through the watermark runner is future work — refuse
+        # rather than silently ignoring the flag.
+        build_parser().error(
+            "--retry-candidates currently requires --no-checkpoint"
+        )
+    if retry_cands is not None and args.normalize:
+        build_parser().error(
+            "--retry-candidates and --normalize are not combinable yet"
+        )
+
     if args.no_checkpoint:
         if args.normalize:
             from ocr_project_spark.pipeline import run_pipeline
 
             out = run_pipeline(docs, cands, normalize=args.normalize)
+        elif retry_cands is not None:
+            out = extract(
+                docs,
+                cands,
+                retry_candidates=retry_cands,
+                retry_threshold=args.retry_threshold,
+            )
         else:
             fn = extract_chunked if args.chunk_mega_docs else extract
             out = fn(docs, cands)

@@ -138,9 +138,18 @@ def _with_fused_map(
     docs: DataFrame,
     candidates: DataFrame | None,
     early_termination: float | None = None,
+    retry_candidates: DataFrame | None = None,
+    retry_threshold: float = 0.3,
 ) -> DataFrame:
     if candidates is not None:
-        fused = fuse_media_candidates(candidates, early_termination)
+        if retry_candidates is not None:
+            from ocr_project_spark.functions.fuse import fuse_with_retry
+
+            fused = fuse_with_retry(
+                candidates, retry_candidates, threshold=retry_threshold
+            )
+        else:
+            fused = fuse_media_candidates(candidates, early_termination)
         fused_map = fused.groupBy("doc_id").agg(
             F.map_from_entries(
                 F.collect_list(
@@ -170,6 +179,8 @@ def extract(
     candidates: DataFrame | None = None,
     passthrough: list[str] | None = None,
     early_termination: float | None = None,
+    retry_candidates: DataFrame | None = None,
+    retry_threshold: float = 0.3,
 ) -> DataFrame:
     """Full pipeline: (doc_id, spans) [+ candidates] ->
     (doc_id, spans out, status).
@@ -177,14 +188,32 @@ def extract(
     ``passthrough`` carries extra input columns (e.g. a per-doc strategy
     computed upstream) into the output unchanged.
 
+    ``retry_candidates`` plugs the PSM-retry analog
+    (functions/fuse.fuse_with_retry, reference tesseract.py:111-143)
+    into the flagship pipeline: when given, media fusion runs the
+    two-pass form — spans whose first-pass fused confidence is below
+    ``retry_threshold`` (0.3, the reference gate) are re-fused over
+    this alternative recognition pass, and the better result wins.
+    Mutually exclusive with ``early_termination`` (the reference never
+    combines the PSM fallback with the engine-cascade short-circuit;
+    combining them here would retry spans the gate already resolved).
+
     Never-fail contract: invalid input docs are NOT dropped — they emit
     (doc_id, [], status{ok=false, reason}) rows (doc_status_expr).  The
     error rows ride the same single-pass plan (conditional assembly)
     rather than a filter-split-union, which would scan the source twice;
     their join keys are null/rare so they add no shuffle skew of note.
     """
+    if retry_candidates is not None and early_termination is not None:
+        raise ValueError(
+            "retry_candidates and early_termination are mutually exclusive"
+        )
     docs = _with_fused_map(
-        docs.withColumn("status", doc_status_expr()), candidates, early_termination
+        docs.withColumn("status", doc_status_expr()),
+        candidates,
+        early_termination,
+        retry_candidates,
+        retry_threshold,
     )
     return docs.select(
         "doc_id",

@@ -253,3 +253,53 @@ def test_language_filter_matches_python(spark):
     assert filter_candidates_by_language(
         cands, doc_langs, {"engines": {"rec_a": {"enabled": True}}}
     ) is cands
+
+
+def test_extract_with_retry_pipeline(corpus_dfs, spark):
+    """extract(retry_candidates=...) resolves media spans with the
+    two-pass fused text: every media span in the output must carry
+    exactly fuse_with_retry's winner for its (doc_id, offset)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.functions.fuse import fuse_with_retry
+    from ocr_project_spark.operators.extract import extract
+
+    docs_df, cands_df = corpus_dfs
+    retry_df = cands_df.groupBy("doc_id", "offset").agg(
+        F.lit("rec_retry").alias("engine"),
+        F.concat(F.lit("retry:"), F.first("text")).alias("text"),
+        F.lit(0.93).alias("confidence"),
+    ).select("doc_id", "offset", "engine", "text", "confidence")
+
+    want = {
+        (r["doc_id"], r["offset"]): r["text"]
+        for r in fuse_with_retry(cands_df, retry_df, threshold=0.6).collect()
+    }
+    # expected per-doc ordered media texts, derived from INPUT spans
+    # (the fused map keys on the span's offset column, and the output
+    # preserves the stable (offset, storage idx) order)
+    expected: dict[str, list[str]] = {}
+    for r in docs_df.collect():
+        spans = sorted(
+            enumerate(r["spans"] or []), key=lambda p: (p[1]["offset"], p[0])
+        )
+        expected[r["doc_id"]] = [
+            want.get((r["doc_id"], s["offset"]), s["text"])
+            for _, s in spans
+            if s["kind"] == "media"
+        ]
+    out = extract(docs_df, cands_df, retry_candidates=retry_df,
+                  retry_threshold=0.6)
+    checked = 0
+    for r in out.collect():
+        got = [s["text"] for s in (r["spans"] or []) if s["kind"] == "media"]
+        assert got == expected.get(r["doc_id"], []), r["doc_id"]
+        checked += len(got)
+    assert checked > 0
+    # some span must actually have taken the retry text
+    assert any(t is not None and t.startswith("retry:") for t in want.values())
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        extract(docs_df, cands_df, early_termination=0.9,
+                retry_candidates=retry_df)

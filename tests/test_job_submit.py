@@ -106,3 +106,20 @@ def test_spark_submit_bucketed_mode(tmp_path):
         [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
     )
     assert summary["docs"] == 40
+
+
+def test_parser_exposes_retry_flags():
+    sys.path.insert(0, ROOT)
+    from ocr_project_spark.config import load_config
+    from ocr_project_spark.job import build_parser
+
+    args = build_parser(load_config()).parse_args(
+        ["--output", "/tmp/x", "--run-id", "r",
+         "--retry-candidates", "/tmp/rc", "--retry-threshold", "0.4"]
+    )
+    assert args.retry_candidates == "/tmp/rc"
+    assert args.retry_threshold == 0.4
+    # config layer can set the threshold default
+    cfg = load_config(overrides=["extract.retry_threshold=0.25"])
+    args2 = build_parser(cfg).parse_args(["--output", "/tmp/x", "--run-id", "r"])
+    assert args2.retry_threshold == 0.25
