@@ -1079,6 +1079,38 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# Cross-document duplicated passages (exact-substring dedup tier):
+# word 5-gram shingles grouped corpus-wide, flagged when >= 2 distinct
+# documents share one.  ONE hash aggregate keyed by shingle — the only
+# shape that survives 100 TB (operators/dedup.duplicate_passages).
+# --------------------------------------------------------------------
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.duplicate_passages(
+        T(spark, sf_dir, "documents"), n=5, min_docs=2
+    )
+
+
+_SQL_DUP_PASSAGES = """
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(toks) >= 5 THEN
+      list_distinct(list_transform(generate_series(0, len(toks)-5),
+        i -> array_to_string(list_slice(toks, i+1, i+5), ' ')))
+    ELSE [array_to_string(toks, ' ')] END) AS passage
+  FROM t
+)
+SELECT passage,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM sh GROUP BY passage
+HAVING count(DISTINCT doc_id) >= 2
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
 _SQL_MINHASH_SIGS = """
 WITH t AS (
   SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 200
@@ -2390,6 +2422,7 @@ LOCAL_QUERIES = {
     "token_stats": q_token_stats,
     "minhash_sigs": q_minhash_sigs,
     "simhash_pairs": q_simhash_pairs,
+    "duplicate_passages": q_duplicate_passages,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -2406,4 +2439,5 @@ LOCAL_ORACLE_SQL = {
     "token_stats": _SQL_TOKEN_STATS,
     "minhash_sigs": _SQL_MINHASH_SIGS,
     "simhash_pairs": _SQL_SIMHASH_PAIRS,
+    "duplicate_passages": _SQL_DUP_PASSAGES,
 }

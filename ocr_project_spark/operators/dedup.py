@@ -675,3 +675,48 @@ def elect_keepers(
         F.min(id_col).alias("keeper_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+# ------------------------------------------------- duplicated passages
+def duplicate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated PASSAGES — the exact-substring dedup
+    tier of a training-data pipeline (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated n-gram spans
+    across documents are memorization fuel even when whole-document
+    dedup passes).
+
+    A passage is a word n-gram shingle; a shingle that occurs in
+    >= ``min_docs`` DISTINCT documents is flagged.  Output, one row
+    per duplicated passage:
+
+        (passage, n_docs, min_doc_id, max_doc_id)
+
+    Plan shape (the only one that survives 100 TB): shingles explode
+    to one row per (doc, shingle) — dedup'd per doc map-side by the
+    array_distinct inside ``shingles`` — then ONE hash aggregate
+    keyed by the shingle computes the distinct-doc count and witness
+    ids with map-side partial combine.  No joins, no windows; hot
+    shingles (boilerplate sentences) are exactly what surfaces, and
+    the aggregate carries one partial per shingle per task regardless
+    of how many documents share it.
+    """
+    sh = shingles(F.col(text_col), n)
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(sh).alias("passage"))
+        .where(F.col("passage").isNotNull())
+    )
+    return (
+        ex.groupBy("passage")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.min("id").alias("min_doc_id"),
+            F.max("id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") >= F.lit(min_docs))
+    )

@@ -338,3 +338,27 @@ def test_minhash_clusters_match_naive_pair_path(spark, corpus_dfs):
         for r in minhash_clusters(flat, n=3, k=16, bands=8).collect()
     }
     assert canon(got) == canon(want)
+
+
+def test_duplicate_passages_hand_corpus(spark):
+    """Exact-substring tier: a 5-gram shared by two docs is flagged
+    with the right witness ids; unique passages and sub-threshold
+    shingles are not."""
+    from ocr_project_spark.operators.dedup import duplicate_passages
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        ("d1", f"intro one two {shared} outro"),
+        ("d2", f"{shared} something entirely different here"),
+        ("d3", "no overlap with anything else at all truly"),
+        ("d4", "tiny"),                       # < n tokens -> whole-text shingle
+        ("d5", "tiny"),                       # duplicate whole-text passage
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["passage"]: (r["n_docs"], r["min_doc_id"], r["max_doc_id"])
+        for r in duplicate_passages(df, n=5, min_docs=2).collect()
+    }
+    assert got[shared] == (2, "d1", "d2")
+    assert got["tiny"] == (2, "d4", "d5")
+    assert all(p == shared or p == "tiny" for p in got)

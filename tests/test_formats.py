@@ -1,0 +1,96 @@
+"""Alternative ingest formats (S1 breadth): JSONL round-trip with
+corrupt-line quarantine, pinned-schema multiline CSV, binaryFile media
+ingest composing with the media operators."""
+
+from __future__ import annotations
+
+import os
+
+from ocr_project_spark.sources.formats import (
+    CORRUPT_COL,
+    read_documents_csv,
+    read_documents_jsonl,
+    read_media_binaries,
+    write_documents_jsonl,
+)
+
+
+def test_jsonl_round_trip_preserves_extraction(spark, corpus_dfs, tmp_path):
+    from ocr_project_spark.operators.extract import extract
+
+    docs_df, cands_df = corpus_dfs
+    path = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs_df, path)
+    docs_j = read_documents_jsonl(spark, path)
+    # same shape/types; nullability flags differ between the parquet
+    # round-trip and the pinned ingest schema
+    assert docs_j.schema.simpleString() == docs_df.schema.simpleString()
+
+    def key(df):
+        return {
+            r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+            for r in extract(df, cands_df).collect()
+        }
+
+    assert key(docs_j) == key(docs_df)
+
+
+def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": "good", "spans": [{"kind": "text", "text": "a b c", '
+        '"media_ref": null, "offset": 0}]}\n'
+        "this is not json at all\n"
+        '{"doc_id": "good2", "spans": []}\n'
+    )
+    clean = read_documents_jsonl(spark, str(p))
+    assert {r["doc_id"] for r in clean.collect()} == {"good", "good2"}
+    kept = read_documents_jsonl(spark, str(p), keep_corrupt=True)
+    rows = kept.collect()
+    bad = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert len(rows) == 3 and len(bad) == 1
+    assert bad[0][CORRUPT_COL].startswith("this is not json")
+    assert bad[0]["doc_id"] is None  # -> null_doc_id error row downstream
+
+
+def test_csv_multiline_text_survives(spark, tmp_path):
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        'doc_id,url,lang,text,n_chars\n'
+        '1,http://a,en,"line one\nline two",17\n'
+        '2,http://b,unk,"plain",5\n'
+    )
+    df = read_documents_csv(spark, str(p))
+    got = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert got[1] == "line one\nline two"
+    assert got[2] == "plain"
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "url", "lang", "text", "n_chars"
+    ]
+
+
+def test_binary_file_source_feeds_media_operators(spark, tmp_path):
+    from ocr_project_spark.operators.media import media_features
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    payloads = {}
+    for i in range(4):
+        body = bytes([i * 37 % 256]) * (100 + i)
+        (d / f"m{i}.bin").write_bytes(body)
+        payloads[f"m{i}.bin"] = body
+    (d / "ignore.txt").write_text("not media")
+
+    media = read_media_binaries(spark, str(d), glob="*.bin")
+    rows = media.collect()
+    assert len(rows) == 4
+    got = {os.path.basename(r["media_ref"]): bytes(r["payload"]) for r in rows}
+    assert got == payloads
+    assert all(r["length"] == len(bytes(r["payload"])) for r in rows)
+
+    feats = media_features(media.select("media_ref", "payload")).collect()
+    assert len(feats) == 4
+    assert all(f["mean_byte"] is not None for f in feats)
+
+    capped = read_media_binaries(spark, str(d), glob="*.bin", limit=2)
+    assert capped.count() == 2
