@@ -217,3 +217,27 @@ def test_read_as_of_snapshot(spark, corpus_dfs, tmp_path):
     assert full == docs_df.count()
     # pinned to the pre-crash tick: still sees only the first commits
     assert checkpoint.read_as_of(spark, ck, "r4", as_of_ticks=mid_ticks).count() == mid_docs
+
+
+def test_flatten_plan_no_inferred_assembly_filter(spark):
+    """Regression pin for the Generate-inferred-filter fix: flattening
+    extract() output must NOT duplicate the HOF assembly expression
+    into a pushed size>0 Filter (plain explode did: 15 transform()
+    occurrences in the physical plan and a 5.6x slowdown; explode_outer
+    + isNotNull keeps it at ~5)."""
+    import os
+
+    from ocr_project_spark import harness
+    from ocr_project_spark.operators.extract import extract
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("testdata missing")
+    flat = harness._spans_out_flat(
+        extract(harness._derived_span_docs(spark, sf), None)
+    )
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("transform(")
+    assert n <= 8, f"assembly expression duplicated in plan ({n} transforms)"
