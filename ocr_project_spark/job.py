@@ -44,7 +44,12 @@ def build_parser(cfg=None) -> argparse.ArgumentParser:
                    metavar="KEY.PATH=VALUE",
                    help="dotted config override (highest config layer)")
     p.add_argument("--input", default=None,
-                   help="documents_spans parquet path (or use --bucketed-location)")
+                   help="documents_spans path (or use --bucketed-location)")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "jsonl"],
+                   help="--input encoding; jsonl reads the pinned "
+                        "DOCUMENTS_SPANS schema via sources/formats.py "
+                        "(DROPMALFORMED: broken lines are skipped)")
     p.add_argument("--candidates", default=None, help="media_candidates parquet path")
     p.add_argument("--output", required=True, help="output root (tables written under it)")
     p.add_argument("--run-id", required=True)
@@ -131,7 +136,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.no_candidates:
             cands = None
     else:
-        docs = spark.read.parquet(args.input)
+        if args.input_format == "jsonl":
+            from ocr_project_spark.sources.formats import read_documents_jsonl
+
+            docs = read_documents_jsonl(spark, args.input)
+        else:
+            docs = spark.read.parquet(args.input)
         cands = (
             spark.read.parquet(args.candidates)
             if args.candidates and not args.no_candidates

@@ -94,3 +94,40 @@ def test_binary_file_source_feeds_media_operators(spark, tmp_path):
 
     capped = read_media_binaries(spark, str(d), glob="*.bin", limit=2)
     assert capped.count() == 2
+
+
+def test_job_accepts_jsonl_input(spark, corpus_dfs, tmp_path):
+    """job.py --input-format jsonl runs the single-pass pipeline over a
+    JSONL corpus (own subprocess/JVM — job.main stops its session, so
+    it must not share the test session) and writes the expected
+    extraction output."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs_df, cands_df = corpus_dfs
+    jl = str(tmp_path / "docs_jsonl")
+    pq = str(tmp_path / "cands_pq")
+    write_documents_jsonl(docs_df.limit(50), jl)
+    cands_df.write.mode("overwrite").parquet(pq)
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ, PYTHONPATH=ROOT)
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(ROOT, "ocr_project_spark", "job.py"),
+         "--input", jl, "--input-format", "jsonl",
+         "--candidates", pq,
+         "--output", out_dir, "--run-id", "jsonl-smoke",
+         "--no-checkpoint", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = _json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["docs"] == 50
+    got = spark.read.parquet(f"{out_dir}/extracted")
+    assert got.count() == 50
+    assert got.where("status.ok").count() == 50

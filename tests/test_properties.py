@@ -137,3 +137,38 @@ def test_normalizers_lockstep_and_idempotent(spark_batch_dirty):
         assert r["b"] == rules.normalize_balanced(t), (t.encode(), r["b"])
         assert r["e"] == rules.normalize_enhanced(t), (t.encode(), r["e"])
         assert r["mm"] == r["m"] and r["bb"] == r["b"] and r["ee"] == r["e"]
+
+
+def test_duplicate_passages_invariant_to_partitioning(spark, corpus_dfs):
+    """The duplicated-passage aggregate is a pure function of the
+    corpus SET: repartitioning and row order must not change the
+    flagged passages or their witness ids (the scale-correctness
+    property of the one-aggregate plan shape)."""
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.dedup import duplicate_passages
+
+    docs_df, _ = corpus_dfs
+    flat = docs_df.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.coalesce(F.col("spans"), F.array()),
+                lambda s: F.coalesce(s["text"], F.lit("")),
+            ),
+            " ",
+        ).alias("text"),
+        # cap the 400-span mega-doc: its shingle set alone dominates
+        # runtime and adds nothing to the invariance property
+    ).where(F.length("text") < 3000)
+
+    def snap(df):
+        return {
+            r["passage"]: (r["n_docs"], r["min_doc_id"], r["max_doc_id"])
+            for r in duplicate_passages(df, n=5).collect()
+        }
+
+    base = snap(flat)
+    assert base  # fixture corpus contains duplicated passages
+    assert snap(flat.repartition(17)) == base
+    assert snap(flat.orderBy(F.col("doc_id").desc())) == base
