@@ -166,12 +166,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     if retry_cands is not None and cands is None:
         build_parser().error("--retry-candidates requires a candidates input")
-    if retry_cands is not None and not args.no_checkpoint:
-        # checkpointed buckets re-fuse per batch; plumbing the two-pass
-        # form through the watermark runner is future work — refuse
-        # rather than silently ignoring the flag.
+    if retry_cands is not None and args.chunk_mega_docs:
         build_parser().error(
-            "--retry-candidates currently requires --no-checkpoint"
+            "--retry-candidates and --chunk-mega-docs are not combinable yet"
         )
     if retry_cands is not None and args.normalize:
         build_parser().error(
@@ -210,6 +207,8 @@ def main(argv: list[str] | None = None) -> int:
             chunk_mega_docs=(
                 args.mega_span_threshold if args.chunk_mega_docs else None
             ),
+            retry_candidates=retry_cands,
+            retry_threshold=args.retry_threshold,
         )
         row = out.agg(
             F.count(F.lit(1)).alias("docs"),

@@ -111,8 +111,16 @@ def run(
     bucket_batch_size: int = 4,
     fail_after_batches: int | None = None,
     chunk_mega_docs: int | None = None,
+    retry_candidates: DataFrame | None = None,
+    retry_threshold: float = 0.3,
 ) -> DataFrame:
     """Execute (or resume) a checkpointed extraction run.
+
+    ``retry_candidates`` runs media fusion in the two-pass PSM-retry
+    form per bucket batch (operators/extract.extract retry args); the
+    retry table is bucketed alongside the candidates so each batch's
+    second pass reads only its own buckets.  Resume-safe: the retry
+    result is a pure function of the batch inputs.
 
     ``fail_after_batches`` is a test hook: raise after N committed
     batches to simulate a mid-run crash (tests/test_plans.py resumes
@@ -139,6 +147,15 @@ def run(
     cand_b = None
     if candidates is not None:
         cand_b = with_bucket(candidates, n_buckets, col_name="_cbucket")
+    retry_b = None
+    if retry_candidates is not None:
+        if candidates is None:
+            raise ValueError("retry_candidates requires candidates")
+        if chunk_mega_docs:
+            raise ValueError(
+                "retry_candidates + chunk_mega_docs is not supported yet"
+            )
+        retry_b = with_bucket(retry_candidates, n_buckets, col_name="_rbucket")
 
     for batch_no, batch in enumerate(batches):
         if fail_after_batches is not None and batch_no >= fail_after_batches:
@@ -150,13 +167,23 @@ def run(
             if cand_b is not None
             else None
         )
+        batch_retry = (
+            retry_b.where(F.col("_rbucket").isin(batch)).drop("_rbucket")
+            if retry_b is not None
+            else None
+        )
         if chunk_mega_docs:
             out = extract_chunked(
                 batch_docs.drop("bucket"), batch_cands,
                 max_spans_per_chunk=chunk_mega_docs,
             )
         else:
-            out = extract(batch_docs.drop("bucket"), batch_cands)
+            out = extract(
+                batch_docs.drop("bucket"),
+                batch_cands,
+                retry_candidates=batch_retry,
+                retry_threshold=retry_threshold,
+            )
         out = with_bucket(out, n_buckets)
 
         # Per-bucket lineage/metrics in the same pass as the write: one

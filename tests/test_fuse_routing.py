@@ -303,3 +303,35 @@ def test_extract_with_retry_pipeline(corpus_dfs, spark):
     with _pytest.raises(ValueError, match="mutually exclusive"):
         extract(docs_df, cands_df, early_termination=0.9,
                 retry_candidates=retry_df)
+
+
+def test_checkpointed_retry_matches_single_pass(spark, corpus_dfs, tmp_path):
+    """checkpoint.run(retry_candidates=...) == extract(retry_candidates=...)
+    doc-for-doc: the per-bucket second pass changes the schedule, not
+    the result."""
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.extract import extract
+    from ocr_project_spark.plans import checkpoint
+
+    docs_df, cands_df = corpus_dfs
+    retry_df = cands_df.groupBy("doc_id", "offset").agg(
+        F.lit("rec_retry").alias("engine"),
+        F.concat(F.lit("retry:"), F.first("text")).alias("text"),
+        F.lit(0.93).alias("confidence"),
+    ).select("doc_id", "offset", "engine", "text", "confidence")
+
+    def key(df):
+        return {
+            r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+            for r in df.collect()
+        }
+
+    want = key(extract(docs_df, cands_df, retry_candidates=retry_df,
+                       retry_threshold=0.6))
+    out = checkpoint.run(
+        spark, docs_df, str(tmp_path / "ck_retry"), "retry-run",
+        candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+        retry_candidates=retry_df, retry_threshold=0.6,
+    )
+    assert key(out.drop("bucket")) == want
