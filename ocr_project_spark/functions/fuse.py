@@ -80,6 +80,10 @@ def engine_languages(cfg) -> dict[str, list[str] | None]:
     out: dict[str, list[str] | None] = {}
     for name, conf in engines.items():
         langs = conf.get("languages") if isinstance(conf, dict) else None
+        if isinstance(langs, str):
+            # yaml scalar form `languages: en` — iterating the string
+            # would yield ['e','n'] and silently drop every candidate
+            langs = [langs]
         out[name] = [str(x) for x in langs] if langs is not None else None
     return out
 
@@ -116,10 +120,13 @@ def filter_candidates_by_language(
             else cond.when(F.col("engine") == name, ok)
         )
     supported = cond.otherwise(F.lit(True))
+    # one lang row per doc: an accidental duplicate in doc_langs would
+    # otherwise fan candidate rows out through the left join and
+    # inflate fusion's consensus counts downstream
     dl = doc_langs.select(
         F.col("doc_id").alias("_lang_doc_id"),
         F.col("lang_guess").alias("_lang_guess"),
-    )
+    ).dropDuplicates(["_lang_doc_id"])
     return (
         cands.join(dl, cands["doc_id"] == dl["_lang_doc_id"], "left")
         .where(supported)
@@ -363,9 +370,18 @@ def fuse_with_retry(
     """
     out_cols = ["doc_id", "offset", "text", "confidence", "method", "n_consensus"]
     p1 = fuse_media_candidates(cands)
-    gate = F.col("confidence") < F.lit(float(threshold))
+    # NULL fused confidence (every candidate's confidence was null)
+    # routes to RETRY: it is the strongest form of the reference's
+    # "no regions came back" arm, and a plain `< threshold` split
+    # would drop such rows entirely (NULL falls out of BOTH branches
+    # of complementary filters).
+    gate = (F.col("confidence") < F.lit(float(threshold))) | F.col(
+        "confidence"
+    ).isNull()
     low = p1.where(gate)
-    high = p1.where(~gate)
+    high = p1.where(~F.col("confidence").isNull() & ~(
+        F.col("confidence") < F.lit(float(threshold))
+    ))
 
     low_keys = low.select("doc_id", "offset")
     r = retry_cands.join(
@@ -388,7 +404,10 @@ def fuse_with_retry(
         & low["offset"].eqNullSafe(p2["r_offset"]),
         "left",
     )
-    better = F.col("r_confidence") > F.col("confidence")
+    # a retry result with ANY confidence beats a null pass-1 confidence
+    better = F.col("r_confidence") > F.coalesce(
+        F.col("confidence"), F.lit(float("-inf"))
+    )
     retried = joined.select(
         "doc_id",
         "offset",

@@ -20,7 +20,11 @@ from ocr_project_spark.functions.classify import jaccard_expr
 from ocr_project_spark.functions.fuse import fuse_media_candidates
 from ocr_project_spark.operators import dedup as DD
 from ocr_project_spark.operators import similarity as SIM
-from ocr_project_spark.operators.sessionize import sessionize_by_time
+from ocr_project_spark.operators.sessionize import (
+    NORMAL_GAP_S as _NORMAL_GAP_S,
+    TIGHT_GAP_S as _TIGHT_GAP_S,
+    sessionize_by_time,
+)
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -706,26 +710,28 @@ def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     both operators fit the driver's query-count cap; the standalone
     form remains locally oracle-checked via LOCAL_QUERIES)."""
     ev = T(spark, sf_dir, "events")
-    from ocr_project_spark.operators.sessionize import epoch_seconds
+    from ocr_project_spark.operators.sessionize import epoch_seconds, gap_class
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sec = epoch_seconds(F.col("ts"))
     gap = sec - F.lag(sec).over(w)
-    cls = (
-        F.when(gap.isNull(), "first")
-        .when(gap <= 60, "tight")
-        .when(gap <= 600, "normal")
-        .otherwise("wide")
-    )
     return ev.select(
         "event_id",
         "user_id",
         F.row_number().over(w).cast("int").alias("rn"),
-        cls.alias("gap_class"),
+        gap_class(gap).alias("gap_class"),
     )
 
 
-_SQL_READING_ORDER = """
+# Shared W4 ladder fragment for the SQL oracles — thresholds are
+# single-sourced from sessionize.py so the Spark ladder and both
+# oracles cannot desynchronize.
+_SQL_GAP_CASE = f"""CASE WHEN d IS NULL THEN 'first'
+            WHEN d <= {_TIGHT_GAP_S}  THEN 'tight'
+            WHEN d <= {_NORMAL_GAP_S} THEN 'normal'
+            ELSE 'wide' END AS gap_class"""
+
+_SQL_READING_ORDER = f"""
 WITH g AS (
   SELECT event_id, user_id,
          row_number() OVER w AS rn,
@@ -734,31 +740,22 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id, CAST(rn AS int) AS rn,
-       CASE WHEN d IS NULL THEN 'first'
-            WHEN d <= 60  THEN 'tight'
-            WHEN d <= 600 THEN 'normal'
-            ELSE 'wide' END AS gap_class
+       {_SQL_GAP_CASE}
 FROM g
 """
 
 
 def q_gap_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
-    from ocr_project_spark.operators.sessionize import epoch_seconds
+    from ocr_project_spark.operators.sessionize import epoch_seconds, gap_class
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sec = epoch_seconds(F.col("ts"))
     gap = sec - F.lag(sec).over(w)
-    cls = (
-        F.when(gap.isNull(), "first")
-        .when(gap <= 60, "tight")
-        .when(gap <= 600, "normal")
-        .otherwise("wide")
-    )
-    return ev.select("event_id", cls.alias("gap_class"))
+    return ev.select("event_id", gap_class(gap).alias("gap_class"))
 
 
-_SQL_GAP_CLASS = """
+_SQL_GAP_CLASS = f"""
 WITH g AS (
   SELECT event_id,
          epoch(ts) - lag(epoch(ts))
@@ -766,10 +763,7 @@ WITH g AS (
   FROM events
 )
 SELECT event_id,
-       CASE WHEN d IS NULL THEN 'first'
-            WHEN d <= 60  THEN 'tight'
-            WHEN d <= 600 THEN 'normal'
-            ELSE 'wide' END AS gap_class
+       {_SQL_GAP_CASE}
 FROM g
 """
 

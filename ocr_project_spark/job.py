@@ -164,6 +164,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.retry_candidates
         else None
     )
+    if retry_cands is not None:
+        # same F6/F7 availability filter as the primary candidates: a
+        # config-disabled engine must not re-enter through the retry
+        # pass
+        from ocr_project_spark.functions.fuse import filter_enabled_candidates
+
+        retry_cands = filter_enabled_candidates(retry_cands, cfg)
     if retry_cands is not None and cands is None:
         build_parser().error("--retry-candidates requires a candidates input")
     if retry_cands is not None and args.chunk_mega_docs:

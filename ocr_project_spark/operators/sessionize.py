@@ -44,6 +44,28 @@ def epoch_seconds(c: Column) -> Column:
     return c.cast("timestamp").cast("double")
 
 
+# W4 prev-gap classification boundaries (seconds).  Single-sourced here
+# because the ladder appears in two driver queries AND their SQL
+# oracles — a threshold tweak must move all four together.
+TIGHT_GAP_S = 60
+NORMAL_GAP_S = 600
+
+
+def gap_class(
+    gap: Column, tight: float = TIGHT_GAP_S, normal: float = NORMAL_GAP_S
+) -> Column:
+    """W4 gap ladder over a lag delta: NULL (first row of the
+    partition) -> 'first', <=tight -> 'tight', <=normal -> 'normal',
+    else 'wide'.  Reference analog: the spacing classifier in
+    /root/reference/src/advanced_ocr/engines/paddleocr.py:296-332."""
+    return (
+        F.when(gap.isNull(), "first")
+        .when(gap <= F.lit(tight), "tight")
+        .when(gap <= F.lit(normal), "normal")
+        .otherwise("wide")
+    )
+
+
 def sessionize_by_time(
     df: DataFrame,
     partition_col: str,

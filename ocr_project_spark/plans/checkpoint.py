@@ -67,11 +67,19 @@ def _append(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
-def _check_run_config(out_dir: str, run_id: str, n_buckets: int) -> None:
-    """Pin the run's bucketing in a meta file; a resume with a
-    DIFFERENT n_buckets would silently mis-map committed watermarks
-    onto other documents (bucket = pmod(hash(doc_id), n) changes with
-    n), so it must fail loudly instead.
+def _check_run_config(
+    out_dir: str,
+    run_id: str,
+    n_buckets: int,
+    has_retry: bool = False,
+    retry_threshold: float | None = None,
+) -> None:
+    """Pin the run's bucketing AND fusion mode in a meta file.  A
+    resume with a different n_buckets would silently mis-map committed
+    watermarks onto other documents (bucket = pmod(hash(doc_id), n)
+    changes with n); a resume that adds/drops the retry pass or moves
+    its threshold would mix fusion semantics across buckets of one
+    output table.  Both must fail loudly instead.
 
     Local-filesystem JSON here; a real deployment stores this in the
     Iceberg table properties / snapshot summary.
@@ -81,6 +89,10 @@ def _check_run_config(out_dir: str, run_id: str, n_buckets: int) -> None:
 
     from ocr_project_spark.errors import CheckpointConflictError
 
+    fusion = {
+        "has_retry": bool(has_retry),
+        "retry_threshold": retry_threshold if has_retry else None,
+    }
     meta_dir = os.path.join(out_dir, "_run_meta")
     meta_path = os.path.join(meta_dir, f"{run_id}.json")
     if os.path.exists(meta_path):
@@ -93,11 +105,20 @@ def _check_run_config(out_dir: str, run_id: str, n_buckets: int) -> None:
                 f"n_buckets={n_buckets} would remap committed buckets "
                 "onto different documents"
             )
+        # runs started before the fusion key existed carry no pin
+        if "fusion" in meta and meta["fusion"] != fusion:
+            raise CheckpointConflictError(
+                f"run {run_id!r} at {out_dir!r} was started with fusion "
+                f"config {meta['fusion']}; resuming with {fusion} would "
+                "mix fusion semantics across committed buckets"
+            )
         return
     os.makedirs(meta_dir, exist_ok=True)
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"run_id": run_id, "n_buckets": n_buckets}, f)
+        json.dump(
+            {"run_id": run_id, "n_buckets": n_buckets, "fusion": fusion}, f
+        )
     os.replace(tmp, meta_path)
 
 
@@ -135,7 +156,13 @@ def run(
     written bucket-partitioned.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    _check_run_config(out_dir, run_id, n_buckets)
+    _check_run_config(
+        out_dir,
+        run_id,
+        n_buckets,
+        has_retry=retry_candidates is not None,
+        retry_threshold=retry_threshold,
+    )
     docs_b = with_bucket(docs, n_buckets)
     done = completed_buckets(spark, out_dir, run_id)
     pending = [b for b in range(n_buckets) if b not in done]

@@ -54,6 +54,11 @@ def read_documents_jsonl(
         return (
             spark.read.schema(_JSONL_SCHEMA)
             .option("mode", "PERMISSIVE")
+            # pin the quarantine column name: a deployment that sets
+            # spark.sql.columnNameOfCorruptRecord would otherwise
+            # silently write corrupt payloads to a column absent from
+            # the schema
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
             .json(path)
         )
     return (

@@ -131,3 +131,23 @@ def test_job_accepts_jsonl_input(spark, corpus_dfs, tmp_path):
     got = spark.read.parquet(f"{out_dir}/extracted")
     assert got.count() == 50
     assert got.where("status.ok").count() == 50
+
+
+def test_jsonl_quarantine_survives_custom_corrupt_col_conf(spark, tmp_path):
+    """A deployment that sets spark.sql.columnNameOfCorruptRecord must
+    not silently break the quarantine: the reader pins the option
+    explicitly to CORRUPT_COL."""
+    p = tmp_path / "mixed2.jsonl"
+    p.write_text(
+        '{"doc_id": "good", "spans": []}\n'
+        "definitely not json\n"
+    )
+    old = spark.conf.get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+    spark.conf.set("spark.sql.columnNameOfCorruptRecord", "_custom_corrupt")
+    try:
+        rows = read_documents_jsonl(spark, str(p), keep_corrupt=True).collect()
+    finally:
+        spark.conf.set("spark.sql.columnNameOfCorruptRecord", old)
+    bad = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert len(rows) == 2 and len(bad) == 1
+    assert bad[0][CORRUPT_COL].startswith("definitely not json")

@@ -335,3 +335,93 @@ def test_checkpointed_retry_matches_single_pass(spark, corpus_dfs, tmp_path):
         retry_candidates=retry_df, retry_threshold=0.6,
     )
     assert key(out.drop("bucket")) == want
+
+
+def test_retry_null_confidence_not_dropped(spark):
+    """NULL pass-1 fused confidence routes to the RETRY branch, never
+    out of existence: `conf < t` and `~(conf < t)` are both NULL for a
+    NULL confidence, so a naive complementary split would emit the span
+    from neither branch."""
+    from ocr_project_spark.functions.fuse import fuse_with_retry
+
+    schema = (
+        "doc_id string, offset int, engine string, text string, "
+        "confidence double"
+    )
+    cands = spark.createDataFrame(
+        [
+            # every candidate's confidence NULL -> fused confidence NULL
+            ("d_null", 0, "rec_a", "garbled", None),
+            ("d_null", 0, "rec_b", "garbled2", None),
+            ("d_low", 0, "rec_a", "meh", 0.2),
+            ("d_high", 0, "rec_a", "good", 0.9),
+        ],
+        schema,
+    )
+    retry = spark.createDataFrame(
+        [
+            ("d_null", 0, "rec_retry", "rescued", 0.5),
+            ("d_low", 0, "rec_retry", "rescued_low", 0.5),
+            ("d_high", 0, "rec_retry", "ignored", 0.5),
+        ],
+        schema,
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in fuse_with_retry(cands, retry, threshold=0.3).collect()
+    }
+    assert set(out) == {"d_null", "d_low", "d_high"}  # nothing dropped
+    # a retry result with ANY confidence beats a NULL pass-1 confidence
+    assert out["d_null"]["text"] == "rescued"
+    assert out["d_null"]["method"].startswith("retry_")
+    assert out["d_low"]["text"] == "rescued_low"
+    assert out["d_high"]["text"] == "good"
+    assert not out["d_high"]["method"].startswith("retry_")
+
+
+def test_language_filter_scalar_languages_value(spark):
+    """yaml scalar form `languages: en` means ['en'] — iterating the
+    string would yield ['e','n'] and silently drop every candidate of
+    that engine for 'en' docs."""
+    from ocr_project_spark.functions.fuse import (
+        engine_languages,
+        filter_candidates_by_language,
+    )
+
+    assert engine_languages({"engines": {"rec_a": {"languages": "en"}}}) == {
+        "rec_a": ["en"]
+    }
+    cands = spark.createDataFrame(
+        [("d_en", 0, "rec_a", "x", 0.9), ("d_fr", 0, "rec_a", "x", 0.9)],
+        "doc_id string, offset int, engine string, text string, "
+        "confidence double",
+    )
+    doc_langs = spark.createDataFrame(
+        [("d_en", "en"), ("d_fr", "fr")], "doc_id string, lang_guess string"
+    )
+    cfg = {"engines": {"rec_a": {"languages": "en"}}}
+    got = {
+        r["doc_id"]
+        for r in filter_candidates_by_language(cands, doc_langs, cfg).collect()
+    }
+    assert got == {"d_en"}  # en kept, fr dropped
+
+
+def test_language_filter_duplicate_doc_langs_no_fanout(spark):
+    """A doc_langs table with repeated doc_id rows must not duplicate
+    candidate rows through the left join (duplicates would inflate
+    fusion's consensus counts downstream)."""
+    from ocr_project_spark.functions.fuse import filter_candidates_by_language
+
+    cands = spark.createDataFrame(
+        [("d1", 0, "rec_a", "x", 0.9), ("d1", 1, "rec_a", "y", 0.8)],
+        "doc_id string, offset int, engine string, text string, "
+        "confidence double",
+    )
+    doc_langs = spark.createDataFrame(
+        [("d1", "en"), ("d1", "en"), ("d1", "en")],
+        "doc_id string, lang_guess string",
+    )
+    cfg = {"engines": {"rec_a": {"languages": ["en"]}}}
+    out = filter_candidates_by_language(cands, doc_langs, cfg)
+    assert out.count() == 2

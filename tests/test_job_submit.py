@@ -123,3 +123,68 @@ def test_parser_exposes_retry_flags():
     cfg = load_config(overrides=["extract.retry_threshold=0.25"])
     args2 = build_parser(cfg).parse_args(["--output", "/tmp/x", "--run-id", "r"])
     assert args2.retry_threshold == 0.25
+
+
+@pytest.mark.slow
+def test_job_filters_disabled_engine_from_retry_pass(spark, corpus_dfs, tmp_path):
+    """A config-disabled engine must not re-enter fusion through
+    --retry-candidates: the job applies the same F6/F7 availability
+    filter to the retry table as to the primary candidates."""
+    from pyspark.sql import functions as F
+
+    docs_df, cands_df = corpus_dfs
+    doc_path = str(tmp_path / "docs")
+    cand_path = str(tmp_path / "cands")
+    retry_path = str(tmp_path / "retry")
+    docs_df.write.parquet(doc_path)
+    cands_df.write.parquet(cand_path)
+    # retry pass from engine rec_x at conf 0.99: with threshold 1.0
+    # every span routes to retry and rec_x wins everywhere — unless the
+    # availability filter drops it
+    cands_df.groupBy("doc_id", "offset").agg(
+        F.lit("rec_x").alias("engine"),
+        F.concat(F.lit("RETRY:"), F.first("text")).alias("text"),
+        F.lit(0.99).alias("confidence"),
+    ).select("doc_id", "offset", "engine", "text", "confidence").write.parquet(
+        retry_path
+    )
+
+    def run_job(out_dir, extra):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = ROOT
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(ROOT, "ocr_project_spark", "job.py"),
+                "--input", doc_path,
+                "--candidates", cand_path,
+                "--retry-candidates", retry_path,
+                "--retry-threshold", "1.0",
+                "--output", out_dir,
+                "--run-id", "retry-filter",
+                "--master", "local[2]",
+                "--no-checkpoint",
+                *extra,
+            ],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=str(tmp_path),
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        out = spark.read.parquet(os.path.join(out_dir, "extracted"))
+        return out.select(
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.coalesce(F.col("spans"), F.array()),
+                        lambda s: s["text"].startswith("RETRY:"),
+                    )
+                )
+            ).alias("n")
+        ).collect()[0]["n"]
+
+    n_enabled = run_job(str(tmp_path / "out_on"), [])
+    assert n_enabled > 0  # control: retry text reaches the output
+    n_disabled = run_job(
+        str(tmp_path / "out_off"), ["--set", "engines.rec_x.enabled=false"]
+    )
+    assert n_disabled == 0  # disabled engine never re-enters via retry

@@ -241,3 +241,63 @@ def test_flatten_plan_no_inferred_assembly_filter(spark):
     plan = flat._jdf.queryExecution().executedPlan().toString()
     n = plan.count("transform(")
     assert n <= 8, f"assembly expression duplicated in plan ({n} transforms)"
+
+
+def test_checkpoint_pins_retry_config(spark, corpus_dfs, tmp_path):
+    """The run manifest pins the fusion mode: resuming a crashed
+    retry-fusion run without --retry-candidates (or with a moved
+    threshold) must fail loudly instead of appending plain-fusion
+    buckets next to retry-fused ones."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.errors import CheckpointConflictError
+    from ocr_project_spark.plans import checkpoint
+
+    docs_df, cands_df = corpus_dfs
+    retry_df = cands_df.groupBy("doc_id", "offset").agg(
+        F.lit("rec_retry").alias("engine"),
+        F.concat(F.lit("retry:"), F.first("text")).alias("text"),
+        F.lit(0.93).alias("confidence"),
+    ).select("doc_id", "offset", "engine", "text", "confidence")
+
+    out_dir = str(tmp_path / "ck_retry_pin")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpoint.run(
+            spark, docs_df, out_dir, "pin-run",
+            candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+            retry_candidates=retry_df, retry_threshold=0.6,
+            fail_after_batches=1,
+        )
+    # resume WITHOUT the retry pass -> refused
+    with pytest.raises(CheckpointConflictError, match="fusion"):
+        checkpoint.run(
+            spark, docs_df, out_dir, "pin-run",
+            candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+        )
+    # resume with a DIFFERENT threshold -> refused
+    with pytest.raises(CheckpointConflictError, match="fusion"):
+        checkpoint.run(
+            spark, docs_df, out_dir, "pin-run",
+            candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+            retry_candidates=retry_df, retry_threshold=0.3,
+        )
+    # resume with the SAME fusion config -> converges to the direct run
+    from ocr_project_spark.operators.extract import extract
+
+    out = checkpoint.run(
+        spark, docs_df, out_dir, "pin-run",
+        candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+        retry_candidates=retry_df, retry_threshold=0.6,
+    )
+    want = {
+        r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+        for r in extract(
+            docs_df, cands_df, retry_candidates=retry_df, retry_threshold=0.6
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+        for r in out.drop("bucket").collect()
+    }
+    assert got == want
