@@ -134,6 +134,37 @@ def filter_candidates_by_language(
     )
 
 
+def doc_langs_from_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans) -> (doc_id, lang_guess) for
+    ``filter_candidates_by_language``: corpus language ID over the
+    concatenated text spans (functions.text.lang_guess).  An 'unk'
+    guess is emitted as NULL — the filter's conservative-on-uncertainty
+    contract drops only KNOWN-unsupported languages, and 'unk' means
+    the heuristic could not decide, not that the doc is in a language
+    the engine lacks.
+
+    Scale: a narrow projection of the docs table (no shuffle); joined
+    against candidates it co-partitions on doc_id — over bucketed
+    storage both sides arrive pre-hashed and the join stays
+    exchange-free."""
+    from ocr_project_spark.functions.text import lang_guess
+
+    text = F.array_join(
+        F.transform(
+            F.coalesce(F.col("spans"), F.array()),
+            lambda s: F.coalesce(s["text"], F.lit("")),
+        ),
+        " ",
+    )
+    lg = lang_guess(text)
+    return docs.select(
+        "doc_id",
+        F.when(lg == "unk", F.lit(None).cast("string"))
+        .otherwise(lg)
+        .alias("lang_guess"),
+    )
+
+
 def priority_expr(engine: Column) -> Column:
     """Engine tie-break priority (rules.ENGINE_PRIORITY), small = wins."""
     mapping = F.create_map(

@@ -87,6 +87,13 @@ def build_parser(cfg=None) -> argparse.ArgumentParser:
                         "over these candidates and the better result wins")
     p.add_argument("--retry-threshold", type=float,
                    default=c("extract.retry_threshold", 0.3))
+    p.add_argument("--lang-filter", action="store_true",
+                   default=bool(c("extract.lang_filter", False)),
+                   help="drop candidates whose engine does not list the "
+                        "document's detected language (per-engine "
+                        "`languages` lists in the engines config; "
+                        "conservative — unknown languages and "
+                        "unconstrained engines pass through)")
     return p
 
 
@@ -159,18 +166,38 @@ def main(argv: list[str] | None = None) -> int:
 
         cands = filter_enabled_candidates(cands, cfg)
 
+    doc_langs = None
+    if args.lang_filter and cands is not None:
+        # per-engine language support (reference base_engine.py:43-82):
+        # candidates whose engine does not list the doc's detected
+        # language never reach fusion
+        from ocr_project_spark.functions.fuse import (
+            doc_langs_from_spans,
+            filter_candidates_by_language,
+        )
+
+        doc_langs = doc_langs_from_spans(docs)
+        cands = filter_candidates_by_language(cands, doc_langs, cfg)
+
     retry_cands = (
         spark.read.parquet(args.retry_candidates)
         if args.retry_candidates
         else None
     )
     if retry_cands is not None:
-        # same F6/F7 availability filter as the primary candidates: a
-        # config-disabled engine must not re-enter through the retry
-        # pass
-        from ocr_project_spark.functions.fuse import filter_enabled_candidates
+        # same F6/F7 availability + language filters as the primary
+        # candidates: a config-disabled or language-unsupported engine
+        # must not re-enter through the retry pass
+        from ocr_project_spark.functions.fuse import (
+            filter_candidates_by_language,
+            filter_enabled_candidates,
+        )
 
         retry_cands = filter_enabled_candidates(retry_cands, cfg)
+        if doc_langs is not None:
+            retry_cands = filter_candidates_by_language(
+                retry_cands, doc_langs, cfg
+            )
     if retry_cands is not None and cands is None:
         build_parser().error("--retry-candidates requires a candidates input")
     if retry_cands is not None and args.chunk_mega_docs:

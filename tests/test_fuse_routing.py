@@ -425,3 +425,43 @@ def test_language_filter_duplicate_doc_langs_no_fanout(spark):
     cfg = {"engines": {"rec_a": {"languages": ["en"]}}}
     out = filter_candidates_by_language(cands, doc_langs, cfg)
     assert out.count() == 2
+
+
+def test_doc_langs_from_spans_unknown_is_null(spark):
+    """The doc_langs derivation maps 'unk' guesses to NULL so that
+    uncertain docs PASS the language filter (conservative contract) —
+    only a confidently-detected, unsupported language drops rows."""
+    from ocr_project_spark.functions.fuse import (
+        doc_langs_from_spans,
+        filter_candidates_by_language,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # stopword-dense -> confidently 'en'
+            ("d_en", [("text", "the and is of to in that it was for", "", 0)]),
+            # synthetic vocab -> 'unk' -> NULL
+            ("d_unk", [("text", "fusion shard quorum raft gossip", "", 0)]),
+            ("d_empty", None),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    langs = {r["doc_id"]: r["lang_guess"] for r in doc_langs_from_spans(docs).collect()}
+    assert langs == {"d_en": "en", "d_unk": None, "d_empty": None}
+
+    cands = spark.createDataFrame(
+        [("d_en", 0, "rec_fr", "x", 0.9), ("d_unk", 0, "rec_fr", "y", 0.9)],
+        "doc_id string, offset int, engine string, text string, "
+        "confidence double",
+    )
+    cfg = {"engines": {"rec_fr": {"languages": ["fr"]}}}
+    kept = {
+        r["doc_id"]
+        for r in filter_candidates_by_language(
+            cands, doc_langs_from_spans(docs), cfg
+        ).collect()
+    }
+    # the confidently-English doc loses its fr-only candidate; the
+    # unknown-language doc keeps it
+    assert kept == {"d_unk"}
