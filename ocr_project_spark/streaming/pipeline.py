@@ -33,11 +33,22 @@ def stream_extract(
     checkpoint_dir: str,
     candidates: DataFrame | None = None,
     max_files_per_trigger: int | None = None,
+    retry_candidates: DataFrame | None = None,
+    retry_threshold: float = 0.3,
 ) -> int:
     """Drain all unprocessed document files from ``input_dir`` through
     the extraction pipeline into ``output_dir``.  Returns the number of
     microbatches executed.  Safe to call repeatedly; each call picks up
     only newly-arrived files.
+
+    ``retry_candidates`` runs media fusion in the two-pass PSM-retry
+    form (functions/fuse.fuse_with_retry) inside each microbatch.
+    Micro-batching does not change the result: fusion and the retry
+    gate are per-(doc_id, offset) over STATIC candidate tables, and a
+    document's spans arrive in one row, so batch membership only
+    selects WHICH docs are processed, never how a doc fuses — stream
+    output equals the batch pipeline doc-for-doc (pinned by
+    tests/test_streaming.py).
     """
     reader = (
         spark.readStream.schema(schema.DOCUMENTS_SPANS)
@@ -50,7 +61,12 @@ def stream_extract(
     n_batches = {"n": 0}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract(batch_df, candidates)
+        out = extract(
+            batch_df,
+            candidates,
+            retry_candidates=retry_candidates,
+            retry_threshold=retry_threshold,
+        )
         out.write.mode("append").parquet(output_dir)
         n_batches["n"] += 1
 
