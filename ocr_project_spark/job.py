@@ -119,6 +119,25 @@ def main(argv: list[str] | None = None) -> int:
             "candidates come from the bucketed tables (use --no-candidates "
             "to skip fusion)"
         )
+    # flag-combination checks BEFORE the session spins up: a bad
+    # combination should fail in milliseconds, not after a JVM start
+    has_cands = not args.no_candidates and bool(
+        args.candidates or args.bucketed_location
+    )
+    if args.retry_candidates and not has_cands:
+        build_parser().error("--retry-candidates requires a candidates input")
+    if args.retry_candidates and args.chunk_mega_docs:
+        build_parser().error(
+            "--retry-candidates and --chunk-mega-docs are not combinable yet"
+        )
+    if args.retry_candidates and args.normalize:
+        build_parser().error(
+            "--retry-candidates and --normalize are not combinable yet"
+        )
+    if args.normalize and args.chunk_mega_docs:
+        build_parser().error(
+            "--normalize and --chunk-mega-docs are not combinable yet"
+        )
 
     from pyspark.sql import functions as F
 
@@ -198,16 +217,6 @@ def main(argv: list[str] | None = None) -> int:
             retry_cands = filter_candidates_by_language(
                 retry_cands, doc_langs, cfg
             )
-    if retry_cands is not None and cands is None:
-        build_parser().error("--retry-candidates requires a candidates input")
-    if retry_cands is not None and args.chunk_mega_docs:
-        build_parser().error(
-            "--retry-candidates and --chunk-mega-docs are not combinable yet"
-        )
-    if retry_cands is not None and args.normalize:
-        build_parser().error(
-            "--retry-candidates and --normalize are not combinable yet"
-        )
 
     if args.no_checkpoint:
         if args.normalize:
@@ -243,6 +252,8 @@ def main(argv: list[str] | None = None) -> int:
             ),
             retry_candidates=retry_cands,
             retry_threshold=args.retry_threshold,
+            normalize=args.normalize,
+            lang_filtered=bool(doc_langs is not None),
         )
         row = out.agg(
             F.count(F.lit(1)).alias("docs"),

@@ -71,15 +71,20 @@ def _check_run_config(
     out_dir: str,
     run_id: str,
     n_buckets: int,
-    has_retry: bool = False,
-    retry_threshold: float | None = None,
+    semantics: dict | None = None,
 ) -> None:
-    """Pin the run's bucketing AND fusion mode in a meta file.  A
+    """Pin the run's bucketing AND output semantics in a meta file.  A
     resume with a different n_buckets would silently mis-map committed
     watermarks onto other documents (bucket = pmod(hash(doc_id), n)
-    changes with n); a resume that adds/drops the retry pass or moves
-    its threshold would mix fusion semantics across buckets of one
-    output table.  Both must fail loudly instead.
+    changes with n); a resume that flips any semantic switch (retry
+    pass/threshold, normalize tier, upstream language filter) would mix
+    semantics across buckets of one output table.  Both must fail
+    loudly instead.
+
+    The stored pin is compared key-by-key over ITS OWN keys, so runs
+    started by an older build (fewer pinned switches) still resume
+    under a newer one — new switches are only enforced for runs that
+    recorded them.
 
     Local-filesystem JSON here; a real deployment stores this in the
     Iceberg table properties / snapshot summary.
@@ -89,10 +94,7 @@ def _check_run_config(
 
     from ocr_project_spark.errors import CheckpointConflictError
 
-    fusion = {
-        "has_retry": bool(has_retry),
-        "retry_threshold": retry_threshold if has_retry else None,
-    }
+    fusion = dict(semantics or {})
     meta_dir = os.path.join(out_dir, "_run_meta")
     meta_path = os.path.join(meta_dir, f"{run_id}.json")
     if os.path.exists(meta_path):
@@ -106,12 +108,19 @@ def _check_run_config(
                 "onto different documents"
             )
         # runs started before the fusion key existed carry no pin
-        if "fusion" in meta and meta["fusion"] != fusion:
-            raise CheckpointConflictError(
-                f"run {run_id!r} at {out_dir!r} was started with fusion "
-                f"config {meta['fusion']}; resuming with {fusion} would "
-                "mix fusion semantics across committed buckets"
-            )
+        stored = meta.get("fusion")
+        if stored is not None:
+            drift = {
+                k: (stored[k], fusion.get(k))
+                for k in stored
+                if stored[k] != fusion.get(k)
+            }
+            if drift:
+                raise CheckpointConflictError(
+                    f"run {run_id!r} at {out_dir!r} was started with fusion "
+                    f"config {stored}; resuming with {fusion} would mix "
+                    f"semantics across committed buckets (drift: {drift})"
+                )
         return
     os.makedirs(meta_dir, exist_ok=True)
     tmp = meta_path + ".tmp"
@@ -134,6 +143,8 @@ def run(
     chunk_mega_docs: int | None = None,
     retry_candidates: DataFrame | None = None,
     retry_threshold: float = 0.3,
+    normalize: str | None = None,
+    lang_filtered: bool = False,
 ) -> DataFrame:
     """Execute (or resume) a checkpointed extraction run.
 
@@ -142,6 +153,16 @@ def run(
     retry table is bucketed alongside the candidates so each batch's
     second pass reads only its own buckets.  Resume-safe: the retry
     result is a pure function of the batch inputs.
+
+    ``normalize`` runs each batch through the composed pipeline's
+    K4-K6 output-cleanup tier (pipeline.run_pipeline).  The tier (and
+    'auto' routing) is a per-document function, so per-batch
+    normalization equals whole-corpus normalization.
+
+    ``lang_filtered`` records that the caller pre-filtered the
+    candidate tables by document language (job.py --lang-filter); it
+    changes nothing here, but is pinned in the run manifest so a
+    resume cannot silently flip it.
 
     ``fail_after_batches`` is a test hook: raise after N committed
     batches to simulate a mid-run crash (tests/test_plans.py resumes
@@ -156,12 +177,22 @@ def run(
     written bucket-partitioned.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if normalize is not None and retry_candidates is not None:
+        raise ValueError("normalize + retry_candidates is not supported yet")
+    if normalize is not None and chunk_mega_docs:
+        raise ValueError("normalize + chunk_mega_docs is not supported yet")
     _check_run_config(
         out_dir,
         run_id,
         n_buckets,
-        has_retry=retry_candidates is not None,
-        retry_threshold=retry_threshold,
+        semantics={
+            "has_retry": retry_candidates is not None,
+            "retry_threshold": (
+                retry_threshold if retry_candidates is not None else None
+            ),
+            "normalize": normalize,
+            "lang_filter": bool(lang_filtered),
+        },
     )
     docs_b = with_bucket(docs, n_buckets)
     done = completed_buckets(spark, out_dir, run_id)
@@ -203,6 +234,12 @@ def run(
             out = extract_chunked(
                 batch_docs.drop("bucket"), batch_cands,
                 max_spans_per_chunk=chunk_mega_docs,
+            )
+        elif normalize is not None:
+            from ocr_project_spark.pipeline import run_pipeline
+
+            out = run_pipeline(
+                batch_docs.drop("bucket"), batch_cands, normalize=normalize
             )
         else:
             out = extract(

@@ -267,3 +267,27 @@ def test_job_lang_filter_end_to_end(spark, corpus_dfs, tmp_path):
     # ...and the constraint actually dropped candidates somewhere
     # (en-detected docs lose rec_a), so the equality is not vacuous
     assert want != key(extract(docs_df, cands_df))
+
+
+def test_job_flag_combos_fail_fast():
+    """Invalid flag combinations are refused BEFORE the Spark session
+    spins up (millisecond failure, and safe to exercise in-process)."""
+    sys.path.insert(0, ROOT)
+    from ocr_project_spark.job import main
+
+    cases = [
+        # --retry-candidates without any candidates input
+        ["--input", "/tmp/i", "--output", "/tmp/o", "--run-id", "r",
+         "--retry-candidates", "/tmp/rc"],
+        ["--input", "/tmp/i", "--output", "/tmp/o", "--run-id", "r",
+         "--candidates", "/tmp/c", "--retry-candidates", "/tmp/rc",
+         "--chunk-mega-docs"],
+        ["--input", "/tmp/i", "--output", "/tmp/o", "--run-id", "r",
+         "--candidates", "/tmp/c", "--retry-candidates", "/tmp/rc",
+         "--normalize", "balanced"],
+        ["--input", "/tmp/i", "--output", "/tmp/o", "--run-id", "r",
+         "--normalize", "balanced", "--chunk-mega-docs"],
+    ]
+    for argv in cases:
+        with pytest.raises(SystemExit):
+            main(argv)

@@ -301,3 +301,79 @@ def test_checkpoint_pins_retry_config(spark, corpus_dfs, tmp_path):
         for r in out.drop("bucket").collect()
     }
     assert got == want
+
+
+def test_checkpoint_normalize_matches_pipeline(spark, corpus_dfs, tmp_path):
+    """checkpoint.run(normalize=...) == run_pipeline(normalize=...)
+    doc-for-doc (the K4-K6 tier is per-document, so per-batch
+    normalization is batch-invariant), and the manifest pins the tier
+    against drifting resumes."""
+    import pytest
+
+    from ocr_project_spark.errors import CheckpointConflictError
+    from ocr_project_spark.pipeline import run_pipeline
+    from ocr_project_spark.plans import checkpoint
+
+    docs_df, cands_df = corpus_dfs
+
+    def key(df):
+        return {
+            r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+            for r in df.collect()
+        }
+
+    want = key(run_pipeline(docs_df, cands_df, normalize="balanced"))
+    out_dir = str(tmp_path / "ck_norm")
+    out = checkpoint.run(
+        spark, docs_df, out_dir, "norm-run",
+        candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+        normalize="balanced",
+    )
+    assert key(out.drop("bucket")) == want
+    # a resume that flips the tier (or drops it) is refused
+    with pytest.raises(CheckpointConflictError, match="normalize"):
+        checkpoint.run(
+            spark, docs_df, out_dir, "norm-run",
+            candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+            normalize="enhanced",
+        )
+    with pytest.raises(CheckpointConflictError, match="normalize"):
+        checkpoint.run(
+            spark, docs_df, out_dir, "norm-run",
+            candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+        )
+
+
+def test_checkpoint_old_manifest_still_resumes(tmp_path):
+    """Forward compatibility: a manifest written by an older build
+    (fewer pinned switches) must not spuriously conflict under a newer
+    build — stored keys are compared, new switches are only enforced
+    for runs that recorded them."""
+    import json
+    import os
+
+    import pytest
+
+    from ocr_project_spark.errors import CheckpointConflictError
+    from ocr_project_spark.plans.checkpoint import _check_run_config
+
+    out_dir = str(tmp_path / "ck_old")
+    meta_dir = os.path.join(out_dir, "_run_meta")
+    os.makedirs(meta_dir)
+    with open(os.path.join(meta_dir, "r1.json"), "w") as f:
+        json.dump(
+            {"run_id": "r1", "n_buckets": 4,
+             "fusion": {"has_retry": False, "retry_threshold": None}},
+            f,
+        )
+    # newer build pins more switches; stored keys match -> resume OK
+    _check_run_config(out_dir, "r1", 4, semantics={
+        "has_retry": False, "retry_threshold": None,
+        "normalize": None, "lang_filter": False,
+    })
+    # a stored key that drifts still refuses
+    with pytest.raises(CheckpointConflictError, match="has_retry"):
+        _check_run_config(out_dir, "r1", 4, semantics={
+            "has_retry": True, "retry_threshold": 0.3,
+            "normalize": None, "lang_filter": False,
+        })
