@@ -103,9 +103,14 @@ def filter_candidates_by_language(
     ``doc_langs`` is (doc_id, lang_guess) — corpus language ID (e.g.
     functions.text.lang_guess).  The support predicate is a
     config-sized CASE over literals, evaluated after an equi-join on
-    doc_id; at scale doc_langs is derived from the same corpus, so the
-    join co-partitions with the candidate shuffle (or broadcasts when
-    the language table is a small sample)."""
+    doc_id.  The join is pinned ``shuffle_hash`` for the same reason
+    extract() pins its fused-map join: doc_langs is corpus-sized when
+    derived from the corpus (doc_langs_from_spans), so an
+    auto-broadcast — which local-scale size estimates WILL pick — is a
+    serial build that is impossible at 10^12 docs; shuffling a
+    genuinely small language table instead costs almost nothing, and
+    over bucketed storage both sides arrive pre-hashed on doc_id so
+    the join runs with zero Exchange (tests/test_bucketed.py)."""
     langs_by_engine = {
         n: ls for n, ls in engine_languages(cfg).items() if ls is not None
     }
@@ -128,7 +133,11 @@ def filter_candidates_by_language(
         F.col("lang_guess").alias("_lang_guess"),
     ).dropDuplicates(["_lang_doc_id"])
     return (
-        cands.join(dl, cands["doc_id"] == dl["_lang_doc_id"], "left")
+        cands.join(
+            dl.hint("shuffle_hash"),
+            cands["doc_id"] == dl["_lang_doc_id"],
+            "left",
+        )
         .where(supported)
         .drop("_lang_doc_id", "_lang_guess")
     )

@@ -47,3 +47,36 @@ def test_bucketed_survives_catalog_redeclare(spark, corpus_dfs, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert to_dict(out) == to_dict(extract(docs_df, cands_df))
+
+
+def test_bucketed_lang_filter_stays_shuffle_free(spark, corpus_dfs, tmp_path):
+    """The language-filter join (candidates x corpus-derived doc_langs)
+    rides the storage bucketing: zero Exchange in the full pipeline,
+    and the shuffle_hash pin keeps the corpus-sized language table off
+    the broadcast path (a serial build that cannot exist at 10^12
+    docs)."""
+    from ocr_project_spark.functions.fuse import (
+        doc_langs_from_spans,
+        filter_candidates_by_language,
+    )
+
+    docs_df, cands_df = corpus_dfs
+    write_bucketed(spark, docs_df, cands_df, str(tmp_path / "bkt3"),
+                   n_buckets=8, prefix="t3")
+    docs_b, cands_b = read_bucketed(spark, str(tmp_path / "bkt3"),
+                                    n_buckets=8, prefix="t3")
+    cfg = {"engines": {"rec_a": {"languages": ["fr"]}}}
+    filtered = filter_candidates_by_language(
+        cands_b, doc_langs_from_spans(docs_b), cfg
+    )
+    out = extract(docs_b, filtered)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    # equality with the plain-path filtered pipeline
+    plain = extract(
+        docs_df,
+        filter_candidates_by_language(
+            cands_df, doc_langs_from_spans(docs_df), cfg
+        ),
+    )
+    assert to_dict(out) == to_dict(plain)
