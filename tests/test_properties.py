@@ -172,3 +172,60 @@ def test_duplicate_passages_invariant_to_partitioning(spark, corpus_dfs):
     assert base  # fixture corpus contains duplicated passages
     assert snap(flat.repartition(17)) == base
     assert snap(flat.orderBy(F.col("doc_id").desc())) == base
+
+
+# Adversarial fusion inputs: null keys, null/empty text, null confidence
+_rc_doc = st.sampled_from([None, "da", "db", "dc"])
+_rc_off = st.sampled_from([None, 0, 1])
+_rc_engine = st.sampled_from(["rec_a", "rec_b", "rec_new"])
+_rc_text = st.sampled_from([None, "", "x y", "x y z", "q"])
+_rc_conf = st.sampled_from([None, 0.05, 0.2, 0.5, 0.95])
+_rc_row = st.tuples(_rc_doc, _rc_off, _rc_engine, _rc_text, _rc_conf)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(_rc_row, min_size=1, max_size=10),
+    st.lists(_rc_row, max_size=6),
+)
+def test_fuse_with_retry_conserves_keys(cand_rows, retry_rows):
+    """Property: fuse_with_retry emits EXACTLY one row per fused span
+    key — never dropping a key (the null-confidence complementary-split
+    bug class) and never duplicating one (the null-key anti-join bug
+    class) — and keys without retry candidates pass through identical
+    to single-pass fusion, for arbitrary null-riddled inputs."""
+    from ocr_project_spark.functions.fuse import (
+        fuse_media_candidates,
+        fuse_with_retry,
+    )
+    from ocr_project_spark.session import get_spark
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    schema = (
+        "doc_id string, offset int, engine string, text string, "
+        "confidence double"
+    )
+    cands = spark.createDataFrame(cand_rows, schema)
+    retry = spark.createDataFrame(retry_rows, schema) if retry_rows else (
+        spark.createDataFrame([], schema)
+    )
+
+    p1 = {
+        (r["doc_id"], r["offset"]): r.asDict()
+        for r in fuse_media_candidates(cands).collect()
+    }
+    out_rows = fuse_with_retry(cands, retry, threshold=0.3).collect()
+    out_keys = [(r["doc_id"], r["offset"]) for r in out_rows]
+    # one output row per span key: no drops, no duplicates
+    assert sorted(out_keys, key=str) == sorted(p1.keys(), key=str), (
+        cand_rows, retry_rows
+    )
+    retry_keys = {(r[0], r[1]) for r in retry_rows}
+    for r in out_rows:
+        k = (r["doc_id"], r["offset"])
+        if k not in retry_keys:
+            # untouched by the retry pass: identical to single-pass
+            assert r.asDict() == p1[k], (k, r.asDict(), p1[k])
+        elif r["method"].startswith("retry_"):
+            # a retry win implies retry rows existed for the key
+            assert k in retry_keys
