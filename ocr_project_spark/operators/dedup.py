@@ -150,26 +150,12 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    k: int = 16,
-    bands: int = 4,
-) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH.
-
-    Signature of k hashes split into ``bands`` bands of k/bands rows;
-    docs sharing any band hash land in the same bucket.  Candidate
-    generation is a groupBy + self-equi-join on (band, bucket_hash) —
-    shuffle-partitioned by bucket, no cross product.  At 100 TB scale
-    this is the only join shape that survives: bucket sizes are
-    bounded, and AQE skew-split handles hot buckets.
-    """
+def _minhash_banded(sig_df: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, sig array<string>) -> (id, band, bucket) banded LSH keys:
+    the signature split into ``bands`` row-groups of k/bands hashes,
+    each group md5-collapsed to one bucket key."""
     rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
-    banded = sig.select(
+    return sig_df.select(
         "id",
         F.explode(
             F.array(
@@ -187,6 +173,27 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signature of k hashes split into ``bands`` bands of k/bands rows;
+    docs sharing any band hash land in the same bucket.  Candidate
+    generation is a groupBy + self-equi-join on (band, bucket_hash) —
+    shuffle-partitioned by bucket, no cross product.  At 100 TB scale
+    this is the only join shape that survives: bucket sizes are
+    bounded, and AQE skew-split handles hot buckets.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    banded = _minhash_banded(sig, k, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "bucket"])
@@ -220,7 +227,6 @@ def minhash_clusters(
     identical-signature members share every band bucket with their
     representative, so the star edges reconnect exactly the paths the
     collapse removed."""
-    rows = k // bands
     sigs = minhash_signatures(df, id_col, text_col, n, k)
     sig_key = F.md5(F.array_join(F.col("sig"), "|")).alias("sig_key")
     keyed = sigs.select("id", "sig", sig_key)
@@ -233,24 +239,9 @@ def minhash_clusters(
         .where(F.col("id") != F.col("rep_id"))
         .select(F.col("id").alias("id_a"), F.col("rep_id").alias("id_b"))
     )
-    banded = reps.select(
-        F.col("rep_id").alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.slice(F.col("sig"), b * rows + 1, rows), "|"
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _minhash_banded(
+        reps.select(F.col("rep_id").alias("id"), "sig"), k, bands
+    )
     a, b = banded.alias("a"), banded.alias("b")
     rep_pairs = (
         a.join(b, ["band", "bucket"])
@@ -259,6 +250,86 @@ def minhash_clusters(
         .distinct()
     )
     return duplicate_clusters_star(rep_pairs.unionByName(member_edges))
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    store: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    store_policy: str = "admitted",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup admission: dedup a NEW batch of documents
+    against a persisted signature store — the production shape for
+    continuous corpus ingestion, where re-running whole-corpus dedup
+    per arrival is O(corpus) instead of O(batch).
+
+    ``store`` is (id, sig array<string>) MinHash signatures of
+    previously seen documents (None/empty for the first batch).
+    Returns ``(admitted, new_store)``:
+
+    * ``admitted`` — (id) new docs to keep: one min-id representative
+      per in-batch near-dup cluster, excluding clusters any member of
+      which band-collides with the store.
+    * ``new_store`` — the signature store after this batch.
+      ``store_policy='admitted'`` (default) grows it by admitted docs
+      only — dedup against the RETAINED corpus, the standard choice;
+      ``'all'`` grows it by every seen doc, which also rejects future
+      docs that near-dup a previously REJECTED one.
+
+    Collision = shared LSH band bucket, the same candidate tier as
+    ``minhash_lsh_pairs`` (exact-Jaccard verification is the separate
+    bounded oracle tier).  Scale: signatures are k strings per doc
+    (store stays corpus-COUNT-sized, never corpus-BYTES-sized); the
+    store probe is a band-bucket semi-join, in-batch clustering runs
+    over the batch only, and every join hashes (band, bucket) or id —
+    no broadcast of corpus-sized state anywhere.
+    """
+    if store_policy not in ("admitted", "all"):
+        raise ValueError(f"unknown store_policy {store_policy!r}")
+    sig_new = minhash_signatures(new_docs, id_col, text_col, n, k)
+    bn = _minhash_banded(sig_new, k, bands)
+    if store is not None:
+        bs = _minhash_banded(store, k, bands)
+        store_hits = (
+            bn.join(bs, ["band", "bucket"], "left_semi").select("id").distinct()
+        )
+    else:
+        store_hits = sig_new.select("id").limit(0)
+
+    a, b = bn.alias("a"), bn.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    clusters = duplicate_clusters_star(pairs)
+    bad_clusters = (
+        clusters.join(store_hits, "id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    ok_clusters = clusters.join(bad_clusters, "cluster_id", "left_anti")
+    cluster_keepers = elect_keepers(ok_clusters).select(
+        F.col("keeper_id").alias("id")
+    )
+    singles = (
+        sig_new.select("id")
+        .join(clusters.select("id"), "id", "left_anti")
+        .join(store_hits, "id", "left_anti")
+    )
+    admitted = singles.unionByName(cluster_keepers)
+
+    if store_policy == "all":
+        grown = sig_new
+    else:
+        grown = sig_new.join(admitted, "id", "left_semi")
+    new_store = store.unionByName(grown) if store is not None else grown
+    return admitted, new_store
 
 
 # ---------------------------------------------------------------- simhash

@@ -362,3 +362,119 @@ def test_duplicate_passages_hand_corpus(spark):
     assert got[shared] == (2, "d1", "d2")
     assert got["tiny"] == (2, "d4", "d5")
     assert all(p == shared or p == "tiny" for p in got)
+
+
+def _flat_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_hand_scenario(spark):
+    """Two-batch admission over a hand corpus: in-batch dup clusters
+    keep their min id; a later batch's near-dup of a stored doc is
+    rejected; unique docs always pass."""
+    from ocr_project_spark.operators.dedup import minhash_dedup_incremental
+
+    t_dup = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    t_unique1 = "one two three four five six seven eight nine ten " * 3
+    t_unique2 = "red orange yellow green blue indigo violet pink " * 3
+    t_unique3 = "north south east west up down left right forward " * 3
+    batch1 = _flat_docs(spark, [
+        (1, t_dup), (2, t_dup),          # in-batch dup pair -> keep 1
+        (3, t_unique1),                   # unique -> keep
+    ])
+    admitted1, store1 = minhash_dedup_incremental(batch1, None)
+    assert {r["id"] for r in admitted1.collect()} == {1, 3}
+    assert {r["id"] for r in store1.collect()} == {1, 3}  # admitted-only
+
+    batch2 = _flat_docs(spark, [
+        (10, t_dup),                      # dup of stored doc 1 -> reject
+        (11, t_unique2), (12, t_unique2), # new in-batch pair -> keep 11
+        (13, t_unique3),                  # unique -> keep
+    ])
+    admitted2, store2 = minhash_dedup_incremental(batch2, store1)
+    assert {r["id"] for r in admitted2.collect()} == {11, 13}
+    assert {r["id"] for r in store2.collect()} == {1, 3, 11, 13}
+
+
+def test_incremental_dedup_store_policies(spark):
+    """'all' policy also rejects near-dups of previously REJECTED docs;
+    'admitted' only guards the retained corpus."""
+    from ocr_project_spark.operators.dedup import minhash_dedup_incremental
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    t_b = "one two three four five six seven eight nine ten " * 3
+    # batch1: 1 and 2 duplicate each other; 2 is rejected
+    batch1 = _flat_docs(spark, [(1, t_a), (2, t_a)])
+    # batch2: 20 duplicates the REJECTED doc 2 (same text)
+    batch2 = _flat_docs(spark, [(20, t_a), (21, t_b)])
+
+    _, store_adm = minhash_dedup_incremental(batch1, None,
+                                             store_policy="admitted")
+    adm2, _ = minhash_dedup_incremental(batch2, store_adm,
+                                        store_policy="admitted")
+    # identical text also collides with ADMITTED doc 1 -> rejected
+    assert {r["id"] for r in adm2.collect()} == {21}
+
+    _, store_all = minhash_dedup_incremental(batch1, None,
+                                             store_policy="all")
+    assert {r["id"] for r in store_all.collect()} == {1, 2}
+    adm2b, _ = minhash_dedup_incremental(batch2, store_all,
+                                         store_policy="all")
+    assert {r["id"] for r in adm2b.collect()} == {21}
+
+
+def test_incremental_dedup_invariants_on_corpus(spark):
+    """Corpus invariants over a two-batch split of the documents table:
+    (1) the admitted set is pairwise band-collision-free across
+    batches under 'all' policy, (2) every rejected doc collides with
+    some seen doc, (3) admitted+rejected partition the input."""
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.dedup import (
+        _minhash_banded,
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+
+    adm1, store1 = minhash_dedup_incremental(b1, None, store_policy="all")
+    adm2, store2 = minhash_dedup_incremental(b2, store1, store_policy="all")
+    admitted = {r["id"] for r in adm1.collect()} | {
+        r["id"] for r in adm2.collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert admitted <= all_ids
+    assert {r["id"] for r in store2.collect()} == all_ids  # 'all' stores everything
+
+    # (1) no two admitted docs share a band bucket
+    sig = minhash_signatures(docs)
+    banded = _minhash_banded(sig, k=16, bands=4)
+    adm_df = spark.createDataFrame([(i,) for i in admitted], "id long")
+    ab = banded.join(adm_df, "id", "left_semi")
+    x, y = ab.alias("x"), ab.alias("y")
+    coll = (
+        x.join(y, ["band", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .count()
+    )
+    assert coll == 0
+
+    # (2) every rejected doc band-collides with at least one other doc
+    rejected = all_ids - admitted
+    assert rejected  # the synthetic corpus contains duplicates
+    bx, by = banded.alias("bx"), banded.alias("by")
+    colliding_ids = {
+        r["id"]
+        for r in bx.join(by, ["band", "bucket"])
+        .where(F.col("bx.id") != F.col("by.id"))
+        .select(F.col("bx.id").alias("id"))
+        .distinct()
+        .collect()
+    }
+    assert rejected <= colliding_ids
