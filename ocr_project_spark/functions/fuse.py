@@ -84,6 +84,12 @@ def engine_languages(cfg) -> dict[str, list[str] | None]:
             # yaml scalar form `languages: en` — iterating the string
             # would yield ['e','n'] and silently drop every candidate
             langs = [langs]
+        elif langs is not None and not isinstance(langs, (list, tuple, set)):
+            # unintelligible shape (languages: true / 5 / ...): treat
+            # as unconstrained, matching the module's
+            # conservative-on-uncertainty convention (_engine_enabled
+            # tolerates arbitrary config shapes the same way)
+            langs = None
         out[name] = [str(x) for x in langs] if langs is not None else None
     return out
 
@@ -127,11 +133,13 @@ def filter_candidates_by_language(
     supported = cond.otherwise(F.lit(True))
     # one lang row per doc: an accidental duplicate in doc_langs would
     # otherwise fan candidate rows out through the left join and
-    # inflate fusion's consensus counts downstream
-    dl = doc_langs.select(
-        F.col("doc_id").alias("_lang_doc_id"),
-        F.col("lang_guess").alias("_lang_guess"),
-    ).dropDuplicates(["_lang_doc_id"])
+    # inflate fusion's consensus counts downstream.  min(), not
+    # dropDuplicates: an arbitrary pick from conflicting rows would
+    # make the filter nondeterministic across replays — breaking the
+    # checkpoint module's bucket-replay idempotency contract
+    dl = doc_langs.groupBy(F.col("doc_id").alias("_lang_doc_id")).agg(
+        F.min("lang_guess").alias("_lang_guess")
+    )
     return (
         cands.join(
             dl.hint("shuffle_hash"),
@@ -386,9 +394,10 @@ def fuse_with_retry(
     low-confidence subset of the batch" (SURVEY section 4):
 
       pass 1   fuse_media_candidates(cands) over every span
-      route    fused confidence < threshold  (0.3, the reference gate;
-               a fallback_best_of_failed span is naturally below it,
-               covering the reference's empty-regions arm)
+      route    fused confidence < threshold (0.3, the reference gate)
+               OR method = fallback_best_of_failed (the reference's
+               empty-regions arm — no VALID candidate exists, whatever
+               the failed winner's numeric confidence says)
       pass 2   fuse the retry candidates for ONLY the routed spans —
                the retry table is semi-joined down to the residue
                first, so the second fusion's shuffle carries the
@@ -410,18 +419,22 @@ def fuse_with_retry(
     """
     out_cols = ["doc_id", "offset", "text", "confidence", "method", "n_consensus"]
     p1 = fuse_media_candidates(cands)
-    # NULL fused confidence (every candidate's confidence was null)
-    # routes to RETRY: it is the strongest form of the reference's
-    # "no regions came back" arm, and a plain `< threshold` split
-    # would drop such rows entirely (NULL falls out of BOTH branches
-    # of complementary filters).
-    gate = (F.col("confidence") < F.lit(float(threshold))) | F.col(
-        "confidence"
-    ).isNull()
-    low = p1.where(gate)
-    high = p1.where(~F.col("confidence").isNull() & ~(
-        F.col("confidence") < F.lit(float(threshold))
-    ))
+    # The route covers BOTH reference arms (tesseract.py:111-143):
+    # low average confidence (< threshold) AND "no regions came back" —
+    # a fallback_best_of_failed span has no valid candidate regardless
+    # of its numeric confidence (all-blank text with high conf would
+    # otherwise skip the retry).  The coalesce makes the route
+    # null-free: NULL fused confidence (every candidate conf null) is
+    # the strongest no-regions form and routes to retry, and the
+    # low/high splits stay exactly complementary (a raw NULL predicate
+    # falls out of BOTH branches of `where(p)` / `where(~p)`).
+    route = F.coalesce(
+        (F.col("confidence") < F.lit(float(threshold)))
+        | (F.col("method") == F.lit("fallback_best_of_failed")),
+        F.lit(True),
+    )
+    low = p1.where(route)
+    high = p1.where(~route)
 
     low_keys = low.select("doc_id", "offset")
     r = retry_cands.join(
@@ -444,10 +457,20 @@ def fuse_with_retry(
         & low["offset"].eqNullSafe(p2["r_offset"]),
         "left",
     )
-    # a retry result with ANY confidence beats a null pass-1 confidence
-    better = F.col("r_confidence") > F.coalesce(
-        F.col("confidence"), F.lit(float("-inf"))
+    # A retry result wins when strictly more confident
+    # (tesseract.py:131-141 ``avg_conf_2 > best_confidence``); any
+    # confidence beats a null pass-1 confidence.  For the no-regions
+    # arm, a VALID retry beats an INVALID pass-1 winner regardless of
+    # the failed winner's numeric confidence — the reference's first
+    # pass carries no usable regions there at all.
+    valid_retry_beats_failed = (
+        (F.col("method") == F.lit("fallback_best_of_failed"))
+        & (F.col("r_method") != F.lit("fallback_best_of_failed"))
     )
+    better = (
+        F.col("r_confidence")
+        > F.coalesce(F.col("confidence"), F.lit(float("-inf")))
+    ) | valid_retry_beats_failed
     retried = joined.select(
         "doc_id",
         "offset",

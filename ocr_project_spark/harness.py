@@ -600,12 +600,20 @@ WITH base AS (
          b.head AS r_text,
          ((p.doc_id*41+19) % 80 + 15) / 100.0 AS r_conf
   FROM p1 p JOIN base b ON p.doc_id = b.doc_id
-  WHERE p.confidence < 0.3
+  WHERE p.confidence < 0.3 OR p.method = 'fallback_best_of_failed'
 ), final AS (
   SELECT p.doc_id,
-    CASE WHEN r.doc_id IS NOT NULL AND r.r_conf > p.confidence
+    CASE WHEN r.doc_id IS NOT NULL
+              AND (r.r_conf > p.confidence
+                   OR (p.method = 'fallback_best_of_failed'
+                       AND trim(coalesce(r.r_text,'')) <> ''
+                       AND r.r_conf > 0.1))
          THEN r.r_conf ELSE p.confidence END AS confidence,
-    CASE WHEN r.doc_id IS NOT NULL AND r.r_conf > p.confidence
+    CASE WHEN r.doc_id IS NOT NULL
+              AND (r.r_conf > p.confidence
+                   OR (p.method = 'fallback_best_of_failed'
+                       AND trim(coalesce(r.r_text,'')) <> ''
+                       AND r.r_conf > 0.1))
          THEN 'retry_' || (CASE WHEN trim(coalesce(r.r_text,'')) <> ''
                                      AND r.r_conf > 0.1
                                 THEN 'single_valid'

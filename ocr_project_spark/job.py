@@ -138,6 +138,11 @@ def main(argv: list[str] | None = None) -> int:
         build_parser().error(
             "--normalize and --chunk-mega-docs are not combinable yet"
         )
+    if args.lang_filter and not has_cands:
+        build_parser().error(
+            "--lang-filter requires a candidates input (it gates which "
+            "engine candidates reach fusion)"
+        )
 
     from pyspark.sql import functions as F
 
@@ -178,6 +183,9 @@ def main(argv: list[str] | None = None) -> int:
             docs, par, threshold=args.mega_span_threshold
         )
 
+    from ocr_project_spark.functions.fuse import disabled_engines
+
+    _disabled = disabled_engines(cfg)
     if cands is not None:
         # F6/F7 availability filter: candidates from config-disabled
         # engines never reach fusion (pushes to the candidate scan)
@@ -186,10 +194,13 @@ def main(argv: list[str] | None = None) -> int:
         cands = filter_enabled_candidates(cands, cfg)
 
     doc_langs = None
-    if args.lang_filter and cands is not None:
+    if args.lang_filter and cands is not None and args.no_checkpoint:
         # per-engine language support (reference base_engine.py:43-82):
         # candidates whose engine does not list the doc's detected
-        # language never reach fusion
+        # language never reach fusion.  Single-pass mode filters here;
+        # checkpointed mode passes the config through so the filter
+        # runs PER BUCKET BATCH (an upstream corpus-wide doc_langs
+        # would be rescanned once per batch).
         from ocr_project_spark.functions.fuse import (
             doc_langs_from_spans,
             filter_candidates_by_language,
@@ -253,7 +264,10 @@ def main(argv: list[str] | None = None) -> int:
             retry_candidates=retry_cands,
             retry_threshold=args.retry_threshold,
             normalize=args.normalize,
-            lang_filtered=bool(doc_langs is not None),
+            lang_filter_cfg=(
+                cfg if (args.lang_filter and cands is not None) else None
+            ),
+            extra_pins={"disabled_engines": sorted(_disabled)},
         )
         row = out.agg(
             F.count(F.lit(1)).alias("docs"),

@@ -291,7 +291,27 @@ def minhash_dedup_incremental(
     if store_policy not in ("admitted", "all"):
         raise ValueError(f"unknown store_policy {store_policy!r}")
     sig_new = minhash_signatures(new_docs, id_col, text_col, n, k)
-    bn = _minhash_banded(sig_new, k, bands)
+    # Identical-signature collapse — the same hot-bucket guard as
+    # minhash_clusters, and ingest batches are exactly the
+    # boilerplate-heavy workload that motivates it: a batch of 10k
+    # copies of one page must cost 10k star edges, not a 10k^2 band
+    # self-join.  Members share every band bucket with their
+    # representative, so rep-level band collisions (in-batch and
+    # vs-store) are exactly member-level collisions.
+    sig_key = F.md5(F.array_join(F.col("sig"), "|")).alias("sig_key")
+    keyed = sig_new.select("id", "sig", sig_key)
+    reps = keyed.groupBy("sig_key").agg(
+        F.min("id").alias("rep_id"), F.first("sig").alias("sig")
+    )
+    member_edges = (
+        keyed.select("id", "sig_key")
+        .join(reps.select("sig_key", "rep_id"), "sig_key")
+        .where(F.col("id") != F.col("rep_id"))
+        .select(F.col("id").alias("id_a"), F.col("rep_id").alias("id_b"))
+    )
+    bn = _minhash_banded(
+        reps.select(F.col("rep_id").alias("id"), "sig"), k, bands
+    )
     if store is not None:
         bs = _minhash_banded(store, k, bands)
         store_hits = (
@@ -301,13 +321,13 @@ def minhash_dedup_incremental(
         store_hits = sig_new.select("id").limit(0)
 
     a, b = bn.alias("a"), bn.alias("b")
-    pairs = (
+    rep_pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    clusters = duplicate_clusters_star(pairs)
+    clusters = duplicate_clusters_star(rep_pairs.unionByName(member_edges))
     bad_clusters = (
         clusters.join(store_hits, "id", "left_semi")
         .select("cluster_id")

@@ -144,7 +144,8 @@ def run(
     retry_candidates: DataFrame | None = None,
     retry_threshold: float = 0.3,
     normalize: str | None = None,
-    lang_filtered: bool = False,
+    lang_filter_cfg=None,
+    extra_pins: dict | None = None,
 ) -> DataFrame:
     """Execute (or resume) a checkpointed extraction run.
 
@@ -159,10 +160,19 @@ def run(
     'auto' routing) is a per-document function, so per-batch
     normalization equals whole-corpus normalization.
 
-    ``lang_filtered`` records that the caller pre-filtered the
-    candidate tables by document language (job.py --lang-filter); it
-    changes nothing here, but is pinned in the run manifest so a
-    resume cannot silently flip it.
+    ``lang_filter_cfg`` (a config mapping with per-engine ``languages``
+    lists) applies the language-based candidate filter PER BATCH:
+    doc_langs is derived from each batch's (bucket-pruned) documents,
+    never from the full corpus — an upstream whole-corpus filter would
+    rescan and re-language-ID every document once per bucket batch.
+    The EFFECTIVE per-engine language lists are pinned in the run
+    manifest (not just an on/off flag), so a resume under a changed
+    engines config fails loudly instead of mixing filter semantics
+    across buckets.
+
+    ``extra_pins`` adds caller-known semantic switches to the manifest
+    pin (e.g. the config-disabled engine set the caller filtered
+    candidates by).
 
     ``fail_after_batches`` is a test hook: raise after N committed
     batches to simulate a mid-run crash (tests/test_plans.py resumes
@@ -177,10 +187,35 @@ def run(
     written bucket-partitioned.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # ALL validity checks before the manifest pin is written: a refused
+    # combination must not poison _run_meta for a run that never
+    # committed a bucket
     if normalize is not None and retry_candidates is not None:
         raise ValueError("normalize + retry_candidates is not supported yet")
     if normalize is not None and chunk_mega_docs:
         raise ValueError("normalize + chunk_mega_docs is not supported yet")
+    if retry_candidates is not None:
+        if candidates is None:
+            raise ValueError("retry_candidates requires candidates")
+        if chunk_mega_docs:
+            raise ValueError(
+                "retry_candidates + chunk_mega_docs is not supported yet"
+            )
+    if lang_filter_cfg is not None and candidates is None:
+        raise ValueError("lang_filter_cfg requires candidates")
+
+    if lang_filter_cfg is not None:
+        from ocr_project_spark.functions.fuse import engine_languages
+
+        # pin the EFFECTIVE lists, canonically sorted — an on/off flag
+        # would let a changed engines config slip through a resume
+        lang_pin = {
+            name: sorted(langs)
+            for name, langs in engine_languages(lang_filter_cfg).items()
+            if langs is not None
+        } or False
+    else:
+        lang_pin = False
     _check_run_config(
         out_dir,
         run_id,
@@ -191,7 +226,8 @@ def run(
                 retry_threshold if retry_candidates is not None else None
             ),
             "normalize": normalize,
-            "lang_filter": bool(lang_filtered),
+            "lang_filter": lang_pin,
+            **(extra_pins or {}),
         },
     )
     docs_b = with_bucket(docs, n_buckets)
@@ -207,12 +243,6 @@ def run(
         cand_b = with_bucket(candidates, n_buckets, col_name="_cbucket")
     retry_b = None
     if retry_candidates is not None:
-        if candidates is None:
-            raise ValueError("retry_candidates requires candidates")
-        if chunk_mega_docs:
-            raise ValueError(
-                "retry_candidates + chunk_mega_docs is not supported yet"
-            )
         retry_b = with_bucket(retry_candidates, n_buckets, col_name="_rbucket")
 
     for batch_no, batch in enumerate(batches):
@@ -230,6 +260,25 @@ def run(
             if retry_b is not None
             else None
         )
+        if lang_filter_cfg is not None and batch_cands is not None:
+            # per-batch doc_langs: derived from the bucket-pruned docs,
+            # so each batch language-IDs only its own documents (a
+            # corpus-wide doc_langs here would rescan everything once
+            # per batch); candidates and docs bucket identically on
+            # doc_id, so the batch filter sees exactly its docs
+            from ocr_project_spark.functions.fuse import (
+                doc_langs_from_spans,
+                filter_candidates_by_language,
+            )
+
+            batch_langs = doc_langs_from_spans(batch_docs.drop("bucket"))
+            batch_cands = filter_candidates_by_language(
+                batch_cands, batch_langs, lang_filter_cfg
+            )
+            if batch_retry is not None:
+                batch_retry = filter_candidates_by_language(
+                    batch_retry, batch_langs, lang_filter_cfg
+                )
         if chunk_mega_docs:
             out = extract_chunked(
                 batch_docs.drop("bucket"), batch_cands,

@@ -50,6 +50,10 @@ def stream_extract(
     output equals the batch pipeline doc-for-doc (pinned by
     tests/test_streaming.py).
     """
+    if retry_candidates is not None and candidates is None:
+        # extract() only consults retry_candidates when fusing; without
+        # candidates the retry table would be silently ignored
+        raise ValueError("retry_candidates requires candidates")
     reader = (
         spark.readStream.schema(schema.DOCUMENTS_SPANS)
         .option("latestFirst", "false")

@@ -188,12 +188,18 @@ def test_retry_matches_python_mirror(corpus, corpus_dfs, spark):
     for i, (key, group) in enumerate(sorted(by_key.items())):
         p1 = oracle.fuse_candidates(group)
         res = p1
-        if p1["confidence"] < THRESH_R:
+        if (
+            p1["confidence"] < THRESH_R
+            or p1["method"] == "fallback_best_of_failed"
+        ):
             p2 = oracle.fuse_candidates([dict(
                 doc_id=key[0], offset=key[1], engine="rec_retry",
                 text=retry_rows[i][3], confidence=retry_rows[i][4],
             )])
-            if p2["confidence"] > p1["confidence"]:
+            if p2["confidence"] > p1["confidence"] or (
+                p1["method"] == "fallback_best_of_failed"
+                and p2["method"] != "fallback_best_of_failed"
+            ):
                 res = dict(p2, method="retry_" + p2["method"])
                 retried += 1
         want[key] = (
@@ -355,6 +361,11 @@ def test_retry_null_confidence_not_dropped(spark):
             ("d_null", 0, "rec_b", "garbled2", None),
             ("d_low", 0, "rec_a", "meh", 0.2),
             ("d_high", 0, "rec_a", "good", 0.9),
+            # blank text at HIGH confidence: fallback_best_of_failed
+            # with conf 0.9 — the reference's no-regions arm, which a
+            # pure `< threshold` gate would wrongly skip
+            ("d_blank", 0, "rec_a", "", 0.9),
+            ("d_blank", 0, "rec_b", "   ", 0.8),
         ],
         schema,
     )
@@ -363,6 +374,7 @@ def test_retry_null_confidence_not_dropped(spark):
             ("d_null", 0, "rec_retry", "rescued", 0.5),
             ("d_low", 0, "rec_retry", "rescued_low", 0.5),
             ("d_high", 0, "rec_retry", "ignored", 0.5),
+            ("d_blank", 0, "rec_retry", "rescued_blank", 0.5),
         ],
         schema,
     )
@@ -370,13 +382,16 @@ def test_retry_null_confidence_not_dropped(spark):
         r["doc_id"]: r.asDict()
         for r in fuse_with_retry(cands, retry, threshold=0.3).collect()
     }
-    assert set(out) == {"d_null", "d_low", "d_high"}  # nothing dropped
+    assert set(out) == {"d_null", "d_low", "d_high", "d_blank"}  # no drops
     # a retry result with ANY confidence beats a NULL pass-1 confidence
     assert out["d_null"]["text"] == "rescued"
     assert out["d_null"]["method"].startswith("retry_")
     assert out["d_low"]["text"] == "rescued_low"
     assert out["d_high"]["text"] == "good"
     assert not out["d_high"]["method"].startswith("retry_")
+    # a VALID retry beats an invalid winner despite its 0.9 confidence
+    assert out["d_blank"]["text"] == "rescued_blank"
+    assert out["d_blank"]["method"] == "retry_single_valid"
 
 
 def test_language_filter_scalar_languages_value(spark):
@@ -465,3 +480,20 @@ def test_doc_langs_from_spans_unknown_is_null(spark):
     # the confidently-English doc loses its fr-only candidate; the
     # unknown-language doc keeps it
     assert kept == {"d_unk"}
+
+
+def test_engine_languages_tolerates_scalar_shapes():
+    """Unintelligible `languages` shapes (bool/int) mean unconstrained,
+    matching the module's conservative-on-uncertainty convention; only
+    the string-scalar form is interpreted as a one-language list."""
+    from ocr_project_spark.functions.fuse import engine_languages
+
+    assert engine_languages({"engines": {"a": {"languages": "en"}}}) == {
+        "a": ["en"]
+    }
+    assert engine_languages({"engines": {"a": {"languages": True}}}) == {
+        "a": None
+    }
+    assert engine_languages({"engines": {"a": {"languages": 5}}}) == {
+        "a": None
+    }

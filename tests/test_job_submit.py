@@ -287,6 +287,9 @@ def test_job_flag_combos_fail_fast():
          "--normalize", "balanced"],
         ["--input", "/tmp/i", "--output", "/tmp/o", "--run-id", "r",
          "--normalize", "balanced", "--chunk-mega-docs"],
+        # --lang-filter without any candidates input
+        ["--input", "/tmp/i", "--output", "/tmp/o", "--run-id", "r",
+         "--lang-filter"],
     ]
     for argv in cases:
         with pytest.raises(SystemExit):

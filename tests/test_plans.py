@@ -377,3 +377,92 @@ def test_checkpoint_old_manifest_still_resumes(tmp_path):
             "has_retry": True, "retry_threshold": 0.3,
             "normalize": None, "lang_filter": False,
         })
+
+
+def test_checkpoint_lang_filter_matches_upstream(spark, corpus_dfs, tmp_path):
+    """Per-bucket-batch language filtering == filtering the whole
+    candidate table upstream (doc language is a per-doc function and
+    candidates bucket with their docs), and the manifest pins the
+    EFFECTIVE per-engine lists, not an on/off flag."""
+    import pytest
+
+    from ocr_project_spark.errors import CheckpointConflictError
+    from ocr_project_spark.functions.fuse import (
+        doc_langs_from_spans,
+        filter_candidates_by_language,
+    )
+    from ocr_project_spark.operators.extract import extract
+    from ocr_project_spark.plans import checkpoint
+
+    docs_df, cands_df = corpus_dfs
+    cfg = {"engines": {"rec_a": {"languages": ["fr"]}}}
+
+    def key(df):
+        return {
+            r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+            for r in df.collect()
+        }
+
+    out_dir = str(tmp_path / "ck_lang")
+    out = checkpoint.run(
+        spark, docs_df, out_dir, "lang-run",
+        candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+        lang_filter_cfg=cfg,
+    )
+    want = key(extract(
+        docs_df,
+        filter_candidates_by_language(
+            cands_df, doc_langs_from_spans(docs_df), cfg
+        ),
+    ))
+    got = key(out.drop("bucket"))
+    assert got == want
+    assert want != key(extract(docs_df, cands_df))  # the filter bites
+
+    # resume with CHANGED language lists -> refused (flag-only pinning
+    # would let this through)
+    with pytest.raises(CheckpointConflictError, match="lang_filter"):
+        checkpoint.run(
+            spark, docs_df, out_dir, "lang-run",
+            candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+            lang_filter_cfg={"engines": {"rec_a": {"languages": ["en"]}}},
+        )
+    with pytest.raises(CheckpointConflictError, match="lang_filter"):
+        checkpoint.run(
+            spark, docs_df, out_dir, "lang-run",
+            candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+        )
+
+
+def test_checkpoint_refused_combo_leaves_no_manifest(spark, corpus_dfs, tmp_path):
+    """A refused parameter combination must not write the run manifest:
+    the corrected re-invocation would otherwise hit a spurious
+    conflict on a run that never committed anything."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.plans import checkpoint
+
+    docs_df, cands_df = corpus_dfs
+    retry_df = cands_df.limit(5).select(
+        "doc_id", "offset", F.lit("rec_retry").alias("engine"),
+        "text", "confidence",
+    )
+    out_dir = str(tmp_path / "ck_poison")
+    with pytest.raises(ValueError, match="requires candidates"):
+        checkpoint.run(
+            spark, docs_df, out_dir, "bad-run",
+            retry_candidates=retry_df, n_buckets=4,
+        )
+    assert not os.path.exists(
+        os.path.join(out_dir, "_run_meta", "bad-run.json")
+    )
+    # the corrected invocation proceeds with no manual cleanup
+    out = checkpoint.run(
+        spark, docs_df, out_dir, "bad-run",
+        candidates=cands_df, retry_candidates=retry_df,
+        n_buckets=4, bucket_batch_size=4,
+    )
+    assert out.count() == docs_df.count()

@@ -202,3 +202,16 @@ def test_stream_extract_retry_matches_batch(spark, tmp_path):
         s[1] is not None and s[1].startswith("retry:")
         for spans in got.values() for s in spans
     )
+
+
+def test_stream_extract_retry_requires_candidates(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="requires candidates"):
+        stream_extract(
+            spark, str(tmp_path / "x"), str(tmp_path / "y"),
+            str(tmp_path / "z"),
+            retry_candidates=spark.createDataFrame(
+                [], "doc_id string, offset int, engine string, text string, "
+                    "confidence double"),
+        )
