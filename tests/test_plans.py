@@ -466,3 +466,48 @@ def test_checkpoint_refused_combo_leaves_no_manifest(spark, corpus_dfs, tmp_path
         n_buckets=4, bucket_batch_size=4,
     )
     assert out.count() == docs_df.count()
+
+
+def test_checkpoint_lang_filter_with_retry_matches_upstream(
+    spark, corpus_dfs, tmp_path
+):
+    """The combined per-batch path (language filter + retry fusion)
+    equals filtering both candidate tables upstream and running the
+    single-pass two-pass pipeline."""
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.functions.fuse import (
+        doc_langs_from_spans,
+        filter_candidates_by_language,
+    )
+    from ocr_project_spark.operators.extract import extract
+    from ocr_project_spark.plans import checkpoint
+
+    docs_df, cands_df = corpus_dfs
+    cfg = {"engines": {"rec_a": {"languages": ["fr"]}}}
+    retry_df = cands_df.groupBy("doc_id", "offset").agg(
+        F.lit("rec_retry").alias("engine"),
+        F.concat(F.lit("retry:"), F.first("text")).alias("text"),
+        F.lit(0.93).alias("confidence"),
+    ).select("doc_id", "offset", "engine", "text", "confidence")
+
+    def key(df):
+        return {
+            r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+            for r in df.collect()
+        }
+
+    out = checkpoint.run(
+        spark, docs_df, str(tmp_path / "ck_lang_retry"), "lr-run",
+        candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+        retry_candidates=retry_df, retry_threshold=0.6,
+        lang_filter_cfg=cfg,
+    )
+    dl = doc_langs_from_spans(docs_df)
+    want = key(extract(
+        docs_df,
+        filter_candidates_by_language(cands_df, dl, cfg),
+        retry_candidates=filter_candidates_by_language(retry_df, dl, cfg),
+        retry_threshold=0.6,
+    ))
+    assert key(out.drop("bucket")) == want
