@@ -327,6 +327,23 @@ def minhash_dedup_incremental(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    return _incremental_admit(
+        sig_new, rep_pairs, member_edges, store_hits, store, store_policy
+    )
+
+
+def _incremental_admit(
+    sig_new: DataFrame,
+    rep_pairs: DataFrame,
+    member_edges: DataFrame,
+    store_hits: DataFrame,
+    store: DataFrame | None,
+    store_policy: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared admission tail for the incremental dedup tiers: cluster
+    the batch's collision graph, reject clusters touching the store,
+    keep one min-id representative per surviving cluster plus the
+    unclustered non-colliding singles, and grow the store per policy."""
     clusters = duplicate_clusters_star(rep_pairs.unionByName(member_edges))
     bad_clusters = (
         clusters.join(store_hits, "id", "left_semi")
@@ -605,6 +622,92 @@ def simhash_clusters(
         .distinct()
     )
     return duplicate_clusters_star(rep_pairs.unionByName(member_edges))
+
+
+def simhash_dedup_incremental(
+    new_docs: DataFrame,
+    store: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 3,
+    store_policy: str = "admitted",
+) -> tuple[DataFrame, DataFrame]:
+    """SimHash counterpart of ``minhash_dedup_incremental``: admit only
+    new docs that are not near-duplicates (Hamming <= ``max_hamming``)
+    of the stored corpus or of an earlier-id doc in their own batch.
+
+    ``store`` is (id, sig bit-string) from previous batches; returns
+    ``(admitted, new_store)`` with the same store policies.  Unlike the
+    MinHash tier, collisions here are hamming-VERIFIED after the band
+    equi-join (the banded join is the pigeonhole-exact candidate
+    generator: any pair within max_hamming shares >= one exact band for
+    bands > max_hamming).  Identical-signature collapse bounds the
+    band join on boilerplate-heavy batches, same as simhash_clusters.
+    Scale: the store is one ``bits``-char string per doc; all joins
+    hash (band, band-substring) or id.
+    """
+    if store_policy not in ("admitted", "all"):
+        raise ValueError(f"unknown store_policy {store_policy!r}")
+    sig_new = simhash_signatures(new_docs, id_col, text_col, bits)
+    reps = sig_new.groupBy("sig").agg(F.min("id").alias("rep_id"))
+    member_edges = (
+        sig_new.join(reps, "sig")
+        .where(F.col("id") != F.col("rep_id"))
+        .select(F.col("id").alias("id_a"), F.col("rep_id").alias("id_b"))
+    )
+    rows = bits // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            "id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.substring(
+                                F.col("sig"), b * rows + 1, rows
+                            ).alias("bb"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("x"),
+        ).select("id", "sig", "x.band", "x.bb")
+
+    bn = banded(reps.select(F.col("rep_id").alias("id"), "sig"))
+    if store is not None:
+        bs = banded(store)
+        store_hits = (
+            bn.alias("a")
+            .join(bs.alias("b"), ["band", "bb"])
+            .where(
+                hamming_words_expr(F.col("a.sig"), F.col("b.sig"), bits)
+                <= max_hamming
+            )
+            .select(F.col("a.id").alias("id"))
+            .distinct()
+        )
+    else:
+        store_hits = sig_new.select("id").limit(0)
+
+    a, b = bn.alias("a"), bn.alias("b")
+    rep_pairs = (
+        a.join(b, ["band", "bb"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .where(
+            hamming_words_expr(F.col("a.sig"), F.col("b.sig"), bits)
+            <= max_hamming
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _incremental_admit(
+        sig_new, rep_pairs, member_edges, store_hits, store, store_policy
+    )
 
 
 # ---------------------------------------------------- duplicate clusters

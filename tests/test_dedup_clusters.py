@@ -478,3 +478,48 @@ def test_incremental_dedup_invariants_on_corpus(spark):
         .collect()
     }
     assert rejected <= colliding_ids
+
+
+def test_simhash_incremental_dedup_hand_scenario(spark):
+    """SimHash incremental admission mirrors the MinHash tier: in-batch
+    dup clusters keep min id, store collisions reject, uniques pass —
+    with hamming-verified collisions."""
+    from ocr_project_spark.operators.dedup import simhash_dedup_incremental
+
+    t_dup = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    t_u1 = "one two three four five six seven eight nine ten " * 3
+    t_u2 = "red orange yellow green blue indigo violet pink " * 3
+    batch1 = _flat_docs(spark, [(1, t_dup), (2, t_dup), (3, t_u1)])
+    adm1, store1 = simhash_dedup_incremental(batch1, None)
+    assert {r["id"] for r in adm1.collect()} == {1, 3}
+    assert {r["id"] for r in store1.collect()} == {1, 3}
+
+    batch2 = _flat_docs(spark, [(10, t_dup), (11, t_u2), (12, t_u2)])
+    adm2, store2 = simhash_dedup_incremental(batch2, store1)
+    assert {r["id"] for r in adm2.collect()} == {11}
+    assert {r["id"] for r in store2.collect()} == {1, 3, 11}
+
+
+def test_simhash_incremental_matches_minhash_partition_contract(spark):
+    """Both incremental tiers partition the input: every input id is
+    either admitted or (under 'all' policy) still lands in the store;
+    no id is lost."""
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.dedup import simhash_dedup_incremental
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    adm1, store1 = simhash_dedup_incremental(b1, None, store_policy="all")
+    adm2, store2 = simhash_dedup_incremental(b2, store1, store_policy="all")
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    admitted = {r["id"] for r in adm1.collect()} | {
+        r["id"] for r in adm2.collect()
+    }
+    assert admitted <= all_ids and admitted
+    assert {r["id"] for r in store2.collect()} == all_ids
+    assert all_ids - admitted  # the synthetic corpus contains dups

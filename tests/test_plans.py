@@ -511,3 +511,48 @@ def test_checkpoint_lang_filter_with_retry_matches_upstream(
         retry_threshold=0.6,
     ))
     assert key(out.drop("bucket")) == want
+
+
+def test_checkpoint_lang_filter_crash_resume_converges(
+    spark, corpus_dfs, tmp_path
+):
+    """Crash-resume with the per-batch language filter: the filter is
+    deterministic (min lang guess), so the resumed buckets converge to
+    exactly the upstream-filtered single-pass result."""
+    import pytest
+
+    from ocr_project_spark.functions.fuse import (
+        doc_langs_from_spans,
+        filter_candidates_by_language,
+    )
+    from ocr_project_spark.operators.extract import extract
+    from ocr_project_spark.plans import checkpoint
+
+    docs_df, cands_df = corpus_dfs
+    cfg = {"engines": {"rec_a": {"languages": ["fr"]}}}
+    out_dir = str(tmp_path / "ck_lang_crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpoint.run(
+            spark, docs_df, out_dir, "lang-crash",
+            candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+            lang_filter_cfg=cfg, fail_after_batches=1,
+        )
+    out = checkpoint.run(
+        spark, docs_df, out_dir, "lang-crash",
+        candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+        lang_filter_cfg=cfg,
+    )
+    want = {
+        r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+        for r in extract(
+            docs_df,
+            filter_candidates_by_language(
+                cands_df, doc_langs_from_spans(docs_df), cfg
+            ),
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+        for r in out.drop("bucket").collect()
+    }
+    assert got == want
