@@ -228,20 +228,10 @@ def minhash_clusters(
     representative, so the star edges reconnect exactly the paths the
     collapse removed."""
     sigs = minhash_signatures(df, id_col, text_col, n, k)
-    sig_key = F.md5(F.array_join(F.col("sig"), "|")).alias("sig_key")
-    keyed = sigs.select("id", "sig", sig_key)
-    reps = keyed.groupBy("sig_key").agg(
-        F.min("id").alias("rep_id"), F.first("sig").alias("sig")
+    reps, member_edges = _collapse_identical(
+        sigs, F.md5(F.array_join(F.col("sig"), "|"))
     )
-    member_edges = (
-        keyed.select("id", "sig_key")
-        .join(reps.select("sig_key", "rep_id"), "sig_key")
-        .where(F.col("id") != F.col("rep_id"))
-        .select(F.col("id").alias("id_a"), F.col("rep_id").alias("id_b"))
-    )
-    banded = _minhash_banded(
-        reps.select(F.col("rep_id").alias("id"), "sig"), k, bands
-    )
+    banded = _minhash_banded(reps, k, bands)
     a, b = banded.alias("a"), banded.alias("b")
     rep_pairs = (
         a.join(b, ["band", "bucket"])
@@ -298,20 +288,10 @@ def minhash_dedup_incremental(
     # self-join.  Members share every band bucket with their
     # representative, so rep-level band collisions (in-batch and
     # vs-store) are exactly member-level collisions.
-    sig_key = F.md5(F.array_join(F.col("sig"), "|")).alias("sig_key")
-    keyed = sig_new.select("id", "sig", sig_key)
-    reps = keyed.groupBy("sig_key").agg(
-        F.min("id").alias("rep_id"), F.first("sig").alias("sig")
+    reps, member_edges = _collapse_identical(
+        sig_new, F.md5(F.array_join(F.col("sig"), "|"))
     )
-    member_edges = (
-        keyed.select("id", "sig_key")
-        .join(reps.select("sig_key", "rep_id"), "sig_key")
-        .where(F.col("id") != F.col("rep_id"))
-        .select(F.col("id").alias("id_a"), F.col("rep_id").alias("id_b"))
-    )
-    bn = _minhash_banded(
-        reps.select(F.col("rep_id").alias("id"), "sig"), k, bands
-    )
+    bn = _minhash_banded(reps, k, bands)
     if store is not None:
         bs = _minhash_banded(store, k, bands)
         store_hits = (
@@ -507,6 +487,48 @@ def hamming_expr(a: Column, b: Column, bits: int = 64) -> Column:
     return total
 
 
+def _simhash_banded(sig_df: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(id, sig bit-string) -> (id, sig, band, bb) banded keys: the
+    signature split into ``bands`` substrings.  ``sig`` rides along for
+    the post-join exact Hamming verification."""
+    rows = bits // bands
+    return sig_df.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(F.col("sig"), b * rows + 1, rows).alias("bb"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("x"),
+    ).select("id", "sig", "x.band", "x.bb")
+
+
+def _collapse_identical(
+    sig_df: DataFrame, sig_key: Column
+) -> tuple[DataFrame, DataFrame]:
+    """Identical-signature collapse shared by the cluster and
+    incremental tiers: group (id, sig) rows by ``sig_key``, keep the
+    min-id representative per group, and return (reps(id, sig),
+    member->representative star edges (id_a, id_b))."""
+    keyed = sig_df.select("id", "sig", sig_key.alias("_sk"))
+    reps = keyed.groupBy("_sk").agg(
+        F.min("id").alias("id"), F.first("sig").alias("sig")
+    )
+    member_edges = (
+        keyed.select(F.col("id").alias("_m"), "_sk")
+        .join(reps.select("_sk", F.col("id").alias("_rep")), "_sk")
+        .where(F.col("_m") != F.col("_rep"))
+        .select(F.col("_m").alias("id_a"), F.col("_rep").alias("id_b"))
+    )
+    return reps.select("id", "sig"), member_edges
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -526,23 +548,8 @@ def simhash_pairs(
     brute-force all-pairs scan (the DuckDB oracle).
     """
     assert max_hamming <= bands - 1, "pigeonhole guarantee needs max_hamming < bands"
-    rows = bits // bands
     sig = simhash_signatures(df, id_col, text_col, bits)
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.substring(F.col("sig"), b * rows + 1, rows).alias("bb"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("x"),
-    ).select("id", "sig", "x.band", "x.bb")
+    banded = _simhash_banded(sig, bits, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "bb"])
@@ -585,29 +592,8 @@ def simhash_clusters(
     sum-of-docs-squared.
     """
     sigs = simhash_signatures(df, id_col, text_col, bits)
-    reps = sigs.groupBy("sig").agg(F.min("id").alias("rep_id"))
-    member_edges = (
-        sigs.join(reps, "sig")
-        .where(F.col("id") != F.col("rep_id"))
-        .select(F.col("id").alias("id_a"), F.col("rep_id").alias("id_b"))
-    )
-
-    rows = bits // bands
-    banded = reps.select(
-        F.col("rep_id").alias("id"),
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.substring(F.col("sig"), b * rows + 1, rows).alias("bb"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("x"),
-    ).select("id", "sig", "x.band", "x.bb")
+    reps, member_edges = _collapse_identical(sigs, F.col("sig"))
+    banded = _simhash_banded(reps, bits, bands)
     a, b = banded.alias("a"), banded.alias("b")
     rep_pairs = (
         a.join(b, ["band", "bb"])
@@ -650,37 +636,20 @@ def simhash_dedup_incremental(
     """
     if store_policy not in ("admitted", "all"):
         raise ValueError(f"unknown store_policy {store_policy!r}")
+    if max_hamming > bands - 1:
+        # pigeonhole: a pair within max_hamming differing bits is only
+        # guaranteed an identical band when bands > max_hamming — a
+        # looser setting would silently ADMIT near-duplicates the band
+        # join never sees (simhash_pairs asserts the same bound)
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got bands={bands}) for the banded join to be exact"
+        )
     sig_new = simhash_signatures(new_docs, id_col, text_col, bits)
-    reps = sig_new.groupBy("sig").agg(F.min("id").alias("rep_id"))
-    member_edges = (
-        sig_new.join(reps, "sig")
-        .where(F.col("id") != F.col("rep_id"))
-        .select(F.col("id").alias("id_a"), F.col("rep_id").alias("id_b"))
-    )
-    rows = bits // bands
-
-    def banded(df: DataFrame) -> DataFrame:
-        return df.select(
-            "id",
-            "sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.substring(
-                                F.col("sig"), b * rows + 1, rows
-                            ).alias("bb"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("x"),
-        ).select("id", "sig", "x.band", "x.bb")
-
-    bn = banded(reps.select(F.col("rep_id").alias("id"), "sig"))
+    reps, member_edges = _collapse_identical(sig_new, F.col("sig"))
+    bn = _simhash_banded(reps, bits, bands)
     if store is not None:
-        bs = banded(store)
+        bs = _simhash_banded(store, bits, bands)
         store_hits = (
             bn.alias("a")
             .join(bs.alias("b"), ["band", "bb"])

@@ -500,13 +500,20 @@ def test_simhash_incremental_dedup_hand_scenario(spark):
     assert {r["id"] for r in store2.collect()} == {1, 3, 11}
 
 
-def test_simhash_incremental_matches_minhash_partition_contract(spark):
-    """Both incremental tiers partition the input: every input id is
-    either admitted or (under 'all' policy) still lands in the store;
-    no id is lost."""
+def test_simhash_incremental_corpus_invariants(spark):
+    """Corpus invariants for the SimHash tier over a two-batch split
+    ('all' policy): (1) no two ADMITTED docs are banded near-dups
+    (shared band AND hamming <= max_hamming), (2) every REJECTED doc
+    has a banded near-dup witness among the corpus, (3) the store
+    records every seen doc."""
     from pyspark.sql import functions as F
 
-    from ocr_project_spark.operators.dedup import simhash_dedup_incremental
+    from ocr_project_spark.operators.dedup import (
+        _simhash_banded,
+        hamming_words_expr,
+        simhash_dedup_incremental,
+        simhash_signatures,
+    )
 
     docs = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -522,4 +529,30 @@ def test_simhash_incremental_matches_minhash_partition_contract(spark):
     }
     assert admitted <= all_ids and admitted
     assert {r["id"] for r in store2.collect()} == all_ids
-    assert all_ids - admitted  # the synthetic corpus contains dups
+    rejected = all_ids - admitted
+    assert rejected  # the synthetic corpus contains near-dups
+
+    banded = _simhash_banded(
+        simhash_signatures(docs).select(F.col("id"), "sig"), bits=64, bands=8
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    collisions = (
+        x.join(y, ["band", "bb"])
+        .where(F.col("x.id") != F.col("y.id"))
+        .where(
+            hamming_words_expr(F.col("x.sig"), F.col("y.sig"), 64) <= 3
+        )
+        .select(F.col("x.id").alias("id"), F.col("y.id").alias("other"))
+        .distinct()
+    )
+    adm_df = spark.createDataFrame([(i,) for i in admitted], "id long")
+    # (1) admitted docs are pairwise non-near-dup
+    both_admitted = (
+        collisions.join(adm_df, "id", "left_semi")
+        .join(adm_df.select(F.col("id").alias("other")), "other", "left_semi")
+        .count()
+    )
+    assert both_admitted == 0
+    # (2) every rejected doc has a near-dup witness
+    colliding_ids = {r["id"] for r in collisions.select("id").distinct().collect()}
+    assert rejected <= colliding_ids

@@ -274,7 +274,7 @@ def test_extract_with_retry_pipeline(corpus_dfs, spark):
     docs_df, cands_df = corpus_dfs
     retry_df = cands_df.groupBy("doc_id", "offset").agg(
         F.lit("rec_retry").alias("engine"),
-        F.concat(F.lit("retry:"), F.first("text")).alias("text"),
+        F.concat(F.lit("retry:"), F.min("text")).alias("text"),
         F.lit(0.93).alias("confidence"),
     ).select("doc_id", "offset", "engine", "text", "confidence")
 
@@ -323,7 +323,7 @@ def test_checkpointed_retry_matches_single_pass(spark, corpus_dfs, tmp_path):
     docs_df, cands_df = corpus_dfs
     retry_df = cands_df.groupBy("doc_id", "offset").agg(
         F.lit("rec_retry").alias("engine"),
-        F.concat(F.lit("retry:"), F.first("text")).alias("text"),
+        F.concat(F.lit("retry:"), F.min("text")).alias("text"),
         F.lit(0.93).alias("confidence"),
     ).select("doc_id", "offset", "engine", "text", "confidence")
 

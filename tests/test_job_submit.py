@@ -59,19 +59,22 @@ def test_spark_submit_pyfiles(tmp_path):
 
 
 @pytest.mark.slow
-def test_spark_submit_bucketed_mode(tmp_path):
+def test_spark_submit_bucketed_mode(spark, tmp_path):
+    # NOTE: takes the shared `spark` fixture for the prep step — a local
+    # get_spark(master="local[2]") here would create the process's FIRST
+    # SparkContext on local[2], which the session-scoped fixture would
+    # then silently inherit (getOrCreate ignores master on an existing
+    # context), shrinking defaultParallelism for every later test.
     spark_submit = shutil.which("spark-submit")
     if spark_submit is None:
         pytest.skip("spark-submit not on PATH")
 
     sys.path.insert(0, ROOT)
-    from ocr_project_spark.session import get_spark
     from ocr_project_spark.sources.bucketed import write_bucketed
     from ocr_project_spark.sources.generate import write_corpus_parquet
     from tools.make_pyfiles import build
 
     doc_path, cand_path = write_corpus_parquet(str(tmp_path / "in"), n_docs=40)
-    spark = get_spark(app_name="prep-bkt", master="local[2]", shuffle_partitions=4)
     write_bucketed(
         spark,
         spark.read.parquet(doc_path),
@@ -143,7 +146,7 @@ def test_job_filters_disabled_engine_from_retry_pass(spark, corpus_dfs, tmp_path
     # availability filter drops it
     cands_df.groupBy("doc_id", "offset").agg(
         F.lit("rec_x").alias("engine"),
-        F.concat(F.lit("RETRY:"), F.first("text")).alias("text"),
+        F.concat(F.lit("RETRY:"), F.min("text")).alias("text"),
         F.lit(0.99).alias("confidence"),
     ).select("doc_id", "offset", "engine", "text", "confidence").write.parquet(
         retry_path

@@ -257,7 +257,7 @@ def test_checkpoint_pins_retry_config(spark, corpus_dfs, tmp_path):
     docs_df, cands_df = corpus_dfs
     retry_df = cands_df.groupBy("doc_id", "offset").agg(
         F.lit("rec_retry").alias("engine"),
-        F.concat(F.lit("retry:"), F.first("text")).alias("text"),
+        F.concat(F.lit("retry:"), F.min("text")).alias("text"),
         F.lit(0.93).alias("confidence"),
     ).select("doc_id", "offset", "engine", "text", "confidence")
 
@@ -487,7 +487,7 @@ def test_checkpoint_lang_filter_with_retry_matches_upstream(
     cfg = {"engines": {"rec_a": {"languages": ["fr"]}}}
     retry_df = cands_df.groupBy("doc_id", "offset").agg(
         F.lit("rec_retry").alias("engine"),
-        F.concat(F.lit("retry:"), F.first("text")).alias("text"),
+        F.concat(F.lit("retry:"), F.min("text")).alias("text"),
         F.lit(0.93).alias("confidence"),
     ).select("doc_id", "offset", "engine", "text", "confidence")
 

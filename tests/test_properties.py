@@ -35,7 +35,7 @@ def test_rules_match_spark_exprs(spark_batch_texts):
     # collect one Spark evaluation per hypothesis batch
     from ocr_project_spark.session import get_spark
 
-    s = get_spark(master="local[2]", shuffle_partitions=2)
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
     df = s.createDataFrame([(t,) for t in spark_batch_texts], "text string")
     got = df.select(
         n_tokens_expr(F.col("text")).alias("n"),
@@ -120,7 +120,7 @@ def test_normalizers_lockstep_and_idempotent(spark_batch_dirty):
     from ocr_project_spark.functions import cleanup
     from ocr_project_spark.session import get_spark
 
-    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
 
     batch = spark_batch_dirty
     df = spark.createDataFrame([(t,) for t in batch], "t string")
@@ -200,7 +200,7 @@ def test_fuse_with_retry_conserves_keys(cand_rows, retry_rows):
     )
     from ocr_project_spark.session import get_spark
 
-    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
     schema = (
         "doc_id string, offset int, engine string, text string, "
         "confidence double"

@@ -172,7 +172,7 @@ def test_stream_extract_retry_matches_batch(spark, tmp_path):
     cands_df = _cands_df(spark, cands)
     retry_df = cands_df.groupBy("doc_id", "offset").agg(
         F.lit("rec_retry").alias("engine"),
-        F.concat(F.lit("retry:"), F.first("text")).alias("text"),
+        F.concat(F.lit("retry:"), F.min("text")).alias("text"),
         F.lit(0.93).alias("confidence"),
     ).select("doc_id", "offset", "engine", "text", "confidence")
 
