@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "region_revenue",
     "exact_dedup",
     "dedup_then_extract",
+    "curate_corpus",
     "retry_routing",
     "minhash_lsh_pairs",
     "simhash64_pairs",

@@ -1704,6 +1704,88 @@ WHERE list_inner_product(a.v, b.v)
 
 
 # --------------------------------------------------------------------
+# 32b. Corpus curation composition (operators/curate.py): quality floor
+#      -> language allowlist -> exact dedup -> SimHash near-dup drop,
+#      one disposition + witness row per document.  The flagship
+#      LLM-training-data flow with every arm oracle-checked in one
+#      query.  min_quality=0.7 sits inside the synthetic corpus's
+#      0.63..0.82 quality range so the low_quality arm genuinely fires;
+#      the exact_dup arm cannot fire on this table (all 500 sf0.01
+#      texts are distinct — exact_dedup's oracle pins that) and is
+#      pinned by tests/test_curate.py on a crafted corpus instead.
+#      doc_id < 2000 bounds the O(n^2) oracle verification join; a
+#      no-op at sf0.01 (500 docs).
+# --------------------------------------------------------------------
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import curate_corpus
+
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    return curate_corpus(d, min_quality=0.7, languages=("en",))
+
+
+_SQL_CURATE = """
+WITH base AS (
+  SELECT doc_id, {ws} AS ws, {wd} AS wd FROM documents WHERE doc_id < 2000
+), scored AS (
+  SELECT doc_id, wd,
+    round(0.30*least(1.0, len(ws)/100.0)
+        + 0.25*(CASE WHEN len(ws)>0 THEN len(list_distinct(ws))*1.0/len(ws) ELSE 0.0 END)
+        + 0.25*(CASE WHEN len(ws)>0 THEN
+            len(list_filter(ws, x -> regexp_full_match(x, '[A-Za-z0-9]+')))*1.0/len(ws)
+            ELSE 0.0 END)
+        + 0.20*(1.0 - CASE WHEN len(ws)>0 THEN
+            len(list_filter(ws, x -> x = 'a'))*1.0/len(ws) ELSE 0.0 END), 3) AS quality,
+    CASE WHEN len(wd) > 0 AND
+      len(list_filter(wd, x -> list_contains(
+        ['the','a','an','of','and','to','in','is','it','for'], x))) * 1.0
+        / len(wd) >= 0.05
+    THEN 'en' ELSE 'unk' END AS lang_guess
+  FROM base
+), surv AS (
+  SELECT * FROM scored WHERE quality >= 0.7 AND lang_guess = 'en'
+), grp AS (
+  SELECT doc_id, wd, md5(array_to_string(wd, ' ')) AS h FROM surv
+), keep AS (
+  SELECT h, min(doc_id) AS keeper FROM grp GROUP BY h
+), exact AS (
+  SELECT g.doc_id, k.keeper, g.wd FROM grp g JOIN keep k USING (h)
+), keepers AS (
+  SELECT doc_id, wd FROM exact WHERE doc_id = keeper
+), h2 AS (
+  SELECT doc_id, list_transform(list_distinct(wd), x -> md5(x)) AS hs0,
+         list_transform(list_distinct(wd), x -> md5('1|' || x)) AS hs1
+  FROM keepers
+), s AS (
+  SELECT doc_id, concat({bits}) AS sig FROM h2
+), nd AS (
+  SELECT a.doc_id AS doc_id, min(b.doc_id) AS w_near
+  FROM s a JOIN s b ON b.doc_id < a.doc_id
+  WHERE ({ham}) <= 3 GROUP BY a.doc_id
+), ed AS (
+  SELECT doc_id, keeper AS w_exact FROM exact WHERE doc_id <> keeper
+)
+SELECT sc.doc_id,
+  CASE WHEN sc.quality < 0.7 THEN 'low_quality'
+       WHEN sc.lang_guess <> 'en' THEN 'lang'
+       WHEN ed.w_exact IS NOT NULL THEN 'exact_dup'
+       WHEN nd.w_near IS NOT NULL THEN 'near_dup'
+       ELSE 'kept' END AS disposition,
+  coalesce(ed.w_exact, nd.w_near) AS witness_id,
+  sc.quality, sc.lang_guess
+FROM scored sc LEFT JOIN ed USING (doc_id) LEFT JOIN nd USING (doc_id)
+""".format(
+    ws=_WS_TOKS.format(c="text"),
+    wd=_WORD_TOKS.format(c="text"),
+    bits=", ".join(_simhash64_bit_sql(b) for b in range(64)),
+    ham=" + ".join(
+        f"CASE WHEN substring(a.sig, {i + 1}, 1) <> substring(b.sig, {i + 1}, 1) "
+        "THEN 1 ELSE 0 END"
+        for i in range(64)
+    ),
+)
+
+
+# --------------------------------------------------------------------
 # 33. Exact percentiles per group (C16 median analog at corpus scale)
 # --------------------------------------------------------------------
 def q_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2302,6 +2384,7 @@ FROM t GROUP BY 1, 2
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
     # --- new this round / never driver-checked / changed shape ---
+    "curate_corpus": q_curate_corpus,
     "retry_routing": q_retry_routing,
     "engine_lang_filter": q_engine_lang_filter,
     "media_byte_stats": q_media_byte_stats,
@@ -2343,7 +2426,6 @@ SPARK_QUERIES = {
     "distinct_tokens": q_distinct_tokens,
     "topk_orders": q_topk_orders,
     "xy_cut": q_xy_cut,
-    "simhash_sigs": q_simhash_sigs,
     "simhash64_pairs": q_simhash64_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "len_percentiles": q_len_percentiles,
@@ -2356,6 +2438,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "curate_corpus": _SQL_CURATE,
     "retry_routing": _SQL_RETRY,
     "engine_lang_filter": _SQL_ENGINE_LANG,
     "media_byte_stats": _SQL_MEDIA_BYTE_STATS,
@@ -2396,7 +2479,6 @@ ORACLE_SQL = {
     "distinct_tokens": _SQL_DISTINCT_TOKENS,
     "topk_orders": _SQL_TOPK_ORDERS,
     "xy_cut": _SQL_XY_CUT,
-    "simhash_sigs": _SQL_SIMHASH_SIGS,
     "simhash64_pairs": _SQL_SIMHASH64_PAIRS,
     "embedding_near_dup": _SQL_EMB_NEAR_DUP,
     "len_percentiles": _SQL_LEN_PCT,
@@ -2423,6 +2505,7 @@ LOCAL_QUERIES = {
     "fingerprint": q_fingerprint,
     "token_stats": q_token_stats,
     "minhash_sigs": q_minhash_sigs,
+    "simhash_sigs": q_simhash_sigs,
     "simhash_pairs": q_simhash_pairs,
     "duplicate_passages": q_duplicate_passages,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
@@ -2440,6 +2523,7 @@ LOCAL_ORACLE_SQL = {
     "fingerprint": _SQL_FINGERPRINT,
     "token_stats": _SQL_TOKEN_STATS,
     "minhash_sigs": _SQL_MINHASH_SIGS,
+    "simhash_sigs": _SQL_SIMHASH_SIGS,
     "simhash_pairs": _SQL_SIMHASH_PAIRS,
     "duplicate_passages": _SQL_DUP_PASSAGES,
 }

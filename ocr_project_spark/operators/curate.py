@@ -1,0 +1,150 @@
+"""Training-corpus curation: the composed filter→dedup pipeline a
+pretraining-data run executes before extraction, with per-document
+disposition and witness lineage.
+
+Reference parity: the reference culls results below a confidence floor
+before fusion (/root/reference/src/advanced_ocr/core/results.py:howto —
+filter_by_confidence; pipeline.py batch validation) — the corpus-scale
+analog is culling documents below a quality floor / outside the
+language allowlist before the expensive stages.  The dedup tiers are
+the LLM-data additions (SURVEY.md §2 dedup inventory).
+
+Stage order is scale-driven: the quality and language filters are
+projection-only (no shuffle, whole-stage codegen over the scan) and on
+a web crawl drop the bulk of the corpus, so they run BEFORE the
+shuffling tiers — exact-hash groupBy, then the SimHash banded
+self-join over exact keepers only.  At 100 TB every stage shrinks the
+next stage's shuffle.
+
+Disposition rules (deterministic, order-free, SQL-expressible — each
+document gets exactly one):
+
+  ``low_quality``  quality_score(text) rounded to 3 decimals is below
+                   ``min_quality`` (rounded on BOTH engines so the
+                   float boundary cannot straddle the oracle).
+  ``lang``         passes quality, ``lang_guess`` not in ``languages``.
+  ``exact_dup``    passes both, another surviving document with
+                   identical normalized text has a smaller id
+                   (witness_id = the keeper, i.e. min such id).
+  ``near_dup``     exact keeper, but some smaller-id exact keeper lies
+                   within ``max_hamming`` SimHash bits
+                   (witness_id = min such id).
+  ``kept``         none of the above.
+
+The near-dup rule is the *pairwise-witness* rule: every dropped
+document names an explicit smaller-id witness.  It drops a superset of
+greedy-by-id admission (a document whose only witnesses were
+themselves dropped still goes) and needs no iterative connected
+components — one banded equi-join, pigeonhole-exact for
+``max_hamming <= bands - 1``, AQE skew-split on hot buckets.  When
+transitive cluster-level election is required instead, use
+``simhash_clusters``/``minhash_clusters`` + ``elect_keepers``
+(operators/dedup.py), and for batch-over-batch admission the
+``*_dedup_incremental`` tiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_project_spark.functions.text import lang_guess, quality_score
+from ocr_project_spark.operators.dedup import (
+    _simhash_banded,
+    hamming_words_expr,
+    normalized_text,
+    simhash_signatures,
+)
+
+DISPOSITIONS = ("low_quality", "lang", "exact_dup", "near_dup", "kept")
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.4,
+    languages: tuple[str, ...] = ("en",),
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Per-document curation verdict over ``docs``.
+
+    Returns one row per input document:
+    ``(id_col, disposition, witness_id, quality, lang_guess)`` where
+    ``disposition`` is one of ``DISPOSITIONS``, ``witness_id`` is the
+    smaller-id duplicate that condemned an ``exact_dup``/``near_dup``
+    row (NULL otherwise), and ``quality`` is the 3-decimal-rounded
+    quality score the floor was applied to.
+
+    Downstream keeps ``disposition = 'kept'``; the other rows are the
+    audit trail (what was dropped, why, and on whose account).
+    """
+    assert max_hamming <= bands - 1, (
+        "pigeonhole-exact banded join needs max_hamming < bands"
+    )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    q_ok = F.col("quality") >= F.lit(min_quality)
+    l_ok = F.col("lang_guess").isin(*languages)
+    ok = q_ok & l_ok
+
+    # One chain for scoring + the exact tier: the keeper is a windowed
+    # conditional min over the normalized-text hash (min skips the
+    # nulls the filter predicate injects for non-survivors), NOT a
+    # groupBy + join-back — the join-back shape re-scans the expensive
+    # scored projection once per branch (a measured 9-scan / 26-
+    # exchange plan); the window keeps it at one scan + one shuffle.
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        txt.alias("_text"),
+        F.round(quality_score(txt), 3).alias("quality"),
+        lang_guess(txt).alias("lang_guess"),
+    ).withColumn("_h", F.md5(normalized_text(F.col("_text"))))
+    flagged = scored.withColumn(
+        "_keeper",
+        F.min(F.when(ok, F.col("id"))).over(Window.partitionBy("_h")),
+    )
+    is_keeper = ok & (F.col("id") == F.col("_keeper"))
+
+    # near tier over exact keepers only: banded SimHash self-join,
+    # witness = min smaller-id neighbor within max_hamming bits.  The
+    # min-aggregate also collapses the per-band pair multiplicity.
+    keeper_docs = flagged.where(is_keeper).select("id", "_text")
+    sigs = simhash_signatures(keeper_docs, id_col="id", text_col="_text", bits=bits)
+    banded = _simhash_banded(sigs, bits, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    near_dups = (
+        a.join(b, ["band", "bb"])
+        .where(F.col("b.id") < F.col("a.id"))
+        .where(
+            hamming_words_expr(F.col("a.sig"), F.col("b.sig"), bits)
+            <= F.lit(max_hamming)
+        )
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(F.min(F.col("b.id")).alias("_w_near"))
+    )
+
+    disposition = (
+        F.when(~q_ok, F.lit("low_quality"))
+        .when(~l_ok, F.lit("lang"))
+        .when(F.col("id") != F.col("_keeper"), F.lit("exact_dup"))
+        .when(F.col("_w_near").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    witness = (
+        F.when(ok & (F.col("id") != F.col("_keeper")), F.col("_keeper"))
+        .otherwise(F.col("_w_near"))
+    )
+    return flagged.join(near_dups, "id", "left").select(
+        F.col("id").alias(id_col),
+        disposition.alias("disposition"),
+        witness.alias("witness_id"),
+        "quality",
+        "lang_guess",
+    )
+
+
+def curated_keepers(curated: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The surviving ids from a ``curate_corpus`` result."""
+    return curated.where(F.col("disposition") == "kept").select(id_col)

@@ -1,0 +1,133 @@
+"""curate_corpus: disposition/witness contract on a crafted corpus
+(every arm incl. exact_dup, which the synthetic documents table cannot
+produce) + corpus invariants on the sf0.001 parquet."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_project_spark.operators.curate import (
+    DISPOSITIONS,
+    curate_corpus,
+    curated_keepers,
+)
+
+GOOD_A = (
+    "the quick brown fox jumps over one lazy dog while the calm river "
+    "bends north past granite cliffs and tall pines under amber light "
+    "carrying distant thunder toward the quiet valley floor below"
+)
+# word-order permutation of GOOD_A: identical distinct-token SET (so
+# SimHash hamming = 0 -> near-dup) but different token SEQUENCE (so the
+# exact normalized-text hash differs)
+GOOD_A_PERM = (
+    "the lazy brown fox jumps over one quick dog while the calm river "
+    "bends north past granite cliffs and tall pines under amber light "
+    "carrying distant thunder toward the quiet valley floor below"
+)
+GOOD_B = (
+    "an old harbor town wakes early as fishing boats drift out through "
+    "grey morning fog and gulls wheel above salted ropes while vendors "
+    "stack crates of silver mackerel along the worn stone quay"
+)
+NON_EN = (
+    "zefir kalu morin taveki sulan porvek nidra helmo quastir belonak "
+    "virento saldu makrin tepolu gandor wesel finarko dulemi rovash "
+    "kuneti plasor varnik holespa trigun mosavel drikon"
+)
+# short + low diversity + zero alnum tokens: score ~0.27, under the 0.4
+# floor ("zz zz ..." would still score 0.515 via the alnum feature)
+LOW_Q = "!! ?? !! ?? !!"
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    rows = [
+        (1, GOOD_A),        # kept (keeper of its exact/near family)
+        (2, GOOD_A),        # exact_dup, witness 1
+        (3, GOOD_A_PERM),   # near_dup, witness 1 (hamming 0, set-equal)
+        (4, LOW_Q),         # low_quality
+        (5, NON_EN),        # lang
+        (6, GOOD_B),        # kept
+        (7, None),          # null text -> low_quality, never crashes
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return curate_corpus(docs, min_quality=0.4, languages=("en",))
+
+
+def test_crafted_dispositions(crafted):
+    got = {r["doc_id"]: (r["disposition"], r["witness_id"]) for r in crafted.collect()}
+    assert got == {
+        1: ("kept", None),
+        2: ("exact_dup", 1),
+        3: ("near_dup", 1),
+        4: ("low_quality", None),
+        5: ("lang", None),
+        6: ("kept", None),
+        7: ("low_quality", None),
+    }
+
+
+def test_crafted_row_contract(crafted):
+    rows = crafted.collect()
+    assert {r["disposition"] for r in rows} <= set(DISPOSITIONS)
+    for r in rows:
+        if r["disposition"] in ("exact_dup", "near_dup"):
+            assert r["witness_id"] is not None and r["witness_id"] < r["doc_id"]
+        else:
+            assert r["witness_id"] is None
+        assert r["quality"] is not None and r["lang_guess"] in ("en", "unk")
+
+
+def test_curated_keepers_selects_kept(crafted):
+    assert {r["doc_id"] for r in curated_keepers(crafted).collect()} == {1, 6}
+
+
+def test_corpus_invariants_sf0001(spark):
+    """On real parquet: one row per input doc, and the kept set is
+    pairwise clean — no two kept docs share a normalized-text hash or
+    sit within max_hamming SimHash bits (brute-force verified)."""
+    from ocr_project_spark.operators.dedup import (
+        hamming_words_expr,
+        normalized_text,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cur = curate_corpus(docs, min_quality=0.7, languages=("en",))
+    assert cur.count() == docs.count()
+    by_disp = {
+        r["disposition"]: r["n"]
+        for r in cur.groupBy("disposition").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_disp.get("kept", 0) > 0
+    assert by_disp.get("near_dup", 0) > 0  # shared-vocab corpus is simhash-dense
+
+    kept_docs = docs.join(
+        curated_keepers(cur), "doc_id", "left_semi"
+    ).select("doc_id", "text")
+    # exact: all normalized hashes distinct
+    n_kept = kept_docs.count()
+    n_hash = (
+        kept_docs.select(F.md5(normalized_text(F.col("text"))).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert n_hash == n_kept
+    # near: brute-force all kept pairs, none within hamming <= 3
+    sigs = simhash_signatures(kept_docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    n_close = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .where(hamming_words_expr(F.col("a.sig"), F.col("b.sig"), 64) <= 3)
+        .count()
+    )
+    assert n_close == 0
+
+
+def test_pigeonhole_guard():
+    import pyspark.sql  # noqa: F401  (spark fixture not needed: assert fires first)
+
+    with pytest.raises(AssertionError):
+        curate_corpus(None, max_hamming=8, bands=8)

@@ -35,4 +35,4 @@ def test_entry_module_exposes_driver_contract():
     assert set(qs) == set(harness.SPARK_QUERIES)
     assert set(osql) == set(harness.ORACLE_SQL)
     # ordering is the sampling contract: never-checked/new entries first
-    assert list(qs)[:2] == ["retry_routing", "engine_lang_filter"]
+    assert list(qs)[:2] == ["curate_corpus", "retry_routing"]
