@@ -118,6 +118,152 @@ def cosine_dup_pairs(
     )
 
 
+def random_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for the LSH tiers (fixed
+    seed: signatures must be stable across sessions so a persisted
+    signature store stays valid)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in row] for row in rng.randn(n_planes, dim)]
+
+
+def _hyperplane_banded(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, v, band, bb) banded hyperplane-signature keys: the sign-bit
+    string split into ``bands`` substrings; a pair is a candidate when
+    ANY band matches (the standard OR-amplified LSH construction —
+    same shape as dedup._simhash_banded / _minhash_banded).  ``v``
+    rides along for the post-join exact cosine verification."""
+    assert len(planes) % bands == 0, "len(planes) must divide into bands"
+    rows = len(planes) // bands
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("_sig", hyperplane_signature(F.col("v"), planes))
+    return e.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(F.col("_sig"), b * rows + 1, rows).alias("bb"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("x"),
+    ).select("id", "v", "x.band", "x.bb")
+
+
+def cosine_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    planes: list[list[float]] | None = None,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH: bucket
+    equi-join candidates, exact-cosine verified — the 100 TB shape the
+    ``cosine_dup_pairs`` docstring promises (that brute-force form
+    stays as the small-SF oracle tier).
+
+    APPROXIMATE in recall: a true pair surfaces only if some band's
+    sign bits all agree (probability (1 - theta/pi)^rows per band,
+    OR-amplified over bands — Charikar 2002 / the standard LSH
+    analysis).  Precision is exact: every emitted pair passed the
+    cosine filter.  Candidates are therefore a SUBSET of
+    cosine_dup_pairs(df, threshold) (pinned by pytest).
+    """
+    if planes is None:
+        dim = len(df.select(vec_col).first()[0])
+        planes = random_planes(16, dim)
+    banded = _hyperplane_banded(df, planes, bands, id_col, vec_col)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bb"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+        .distinct()
+    )
+
+
+def embedding_dedup_incremental(
+    new_vecs: DataFrame,
+    store: DataFrame | None = None,
+    threshold: float = 0.9,
+    planes: list[list[float]] | None = None,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    store_policy: str = "admitted",
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-over-batch admission on embedding cosine — the fourth
+    incremental tier (exact md5 / MinHash / SimHash live in
+    operators/dedup.py and share the same admission tail).
+
+    A new vector is rejected when an LSH-banded candidate in the
+    persisted store (or an already-admitted in-batch cluster keeper)
+    verifies at cosine >= threshold.  Returns (admitted ids, grown
+    store); the store persists (id, v) rows — signatures are
+    recomputed per call from the deterministic ``planes`` so the store
+    schema never pins an LSH configuration.
+
+    Same recall caveat as cosine_dup_pairs_lsh: candidate generation
+    is approximate (a missed band collision admits a true near-dup);
+    precision is exact.  store_policy as in the dedup tiers:
+    'admitted' stores only survivors, 'all' records every seen vector.
+    """
+    from ocr_project_spark.operators.dedup import _incremental_admit
+
+    if store_policy not in ("admitted", "all"):
+        raise ValueError(f"unknown store_policy {store_policy!r}")
+    if planes is None:
+        dim = len(new_vecs.select(vec_col).first()[0])
+        planes = random_planes(16, dim)
+    vecs = new_vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    bn = _hyperplane_banded(vecs, planes, bands, "id", "v")
+    if store is not None:
+        bs = _hyperplane_banded(store, planes, bands, "id", "v")
+        store_hits = (
+            bn.alias("a")
+            .join(bs.alias("b"), ["band", "bb"])
+            .where(cosine_expr(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
+            .select(F.col("a.id").alias("id"))
+            .distinct()
+        )
+    else:
+        store_hits = vecs.select("id").limit(0)
+    a, b = bn.alias("a"), bn.alias("b")
+    rep_pairs = (
+        a.join(b, ["band", "bb"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .where(cosine_expr(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    member_edges = rep_pairs.limit(0)
+    return _incremental_admit(
+        vecs, rep_pairs, member_edges, store_hits, store, store_policy
+    )
+
+
 # ---------------------------------------------------------------- IVF
 def ivf_build(
     df: DataFrame,
