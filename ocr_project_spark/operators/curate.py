@@ -107,22 +107,46 @@ def curate_corpus(
     )
     is_keeper = ok & (F.col("id") == F.col("_keeper"))
 
-    # near tier over exact keepers only: banded SimHash self-join,
-    # witness = min smaller-id neighbor within max_hamming bits.  The
-    # min-aggregate also collapses the per-band pair multiplicity.
+    # near tier over exact keepers only: banded SimHash self-join with
+    # the identical-signature hot-bucket guard (same collapse the
+    # cluster tiers use), witness math preserved EXACTLY:
+    #   for doc m in signature-group g with representative r = min(g):
+    #     in-group candidate   r            (iff m != r; hamming 0)
+    #     cross-group candidate nmin(g)     (iff nmin(g) < m), where
+    #       nmin(g) = min over reps of groups within max_hamming — and
+    #       a neighbor group's min MEMBER id IS its rep, so the rep
+    #       min equals the member min
+    #   witness(m) = least(of the applicable candidates)
+    # The banded join runs over DISTINCT signatures only (both
+    # directions — a group with a small rep can condemn members of a
+    # group whose rep is even smaller), so boilerplate-heavy corpora
+    # cost distinct-sigs^2 per bucket instead of keepers^2.
     keeper_docs = flagged.where(is_keeper).select("id", "_text")
     sigs = simhash_signatures(keeper_docs, id_col="id", text_col="_text", bits=bits)
-    banded = _simhash_banded(sigs, bits, bands)
+    reps = sigs.groupBy("sig").agg(F.min("id").alias("_rid"))
+    banded = _simhash_banded(reps.select(F.col("_rid").alias("id"), "sig"), bits, bands)
     a, b = banded.alias("a"), banded.alias("b")
-    near_dups = (
+    rep_nmin = (
         a.join(b, ["band", "bb"])
-        .where(F.col("b.id") < F.col("a.id"))
+        .where(F.col("a.id") != F.col("b.id"))
         .where(
             hamming_words_expr(F.col("a.sig"), F.col("b.sig"), bits)
             <= F.lit(max_hamming)
         )
-        .groupBy(F.col("a.id").alias("id"))
-        .agg(F.min(F.col("b.id")).alias("_w_near"))
+        .groupBy(F.col("a.id").alias("_rid"))
+        .agg(F.min(F.col("b.id")).alias("_nmin"))
+    )
+    near_dups = (
+        sigs.join(reps, "sig")
+        .join(rep_nmin, "_rid", "left")
+        .select(
+            "id",
+            F.least(
+                F.when(F.col("id") != F.col("_rid"), F.col("_rid")),
+                F.when(F.col("_nmin") < F.col("id"), F.col("_nmin")),
+            ).alias("_w_near"),
+        )
+        .where(F.col("_w_near").isNotNull())
     )
 
     disposition = (

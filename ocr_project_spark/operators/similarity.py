@@ -128,6 +128,16 @@ def random_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return [[float(x) for x in row] for row in rng.randn(n_planes, dim)]
 
 
+def _default_planes(df: DataFrame, vec_col: str) -> list[list[float]]:
+    """Seeded 16-plane default, dimension sniffed from the first row.
+    An empty (or all-null) batch gets a 1-dim placeholder — no
+    signature is ever computed from it, but the plan must still build
+    (incremental callers legitimately pass empty batches)."""
+    row = df.select(vec_col).first()
+    dim = len(row[0]) if row is not None and row[0] is not None else 1
+    return random_planes(16, dim)
+
+
 def _hyperplane_banded(
     df: DataFrame,
     planes: list[list[float]],
@@ -184,8 +194,7 @@ def cosine_dup_pairs_lsh(
     cosine_dup_pairs(df, threshold) (pinned by pytest).
     """
     if planes is None:
-        dim = len(df.select(vec_col).first()[0])
-        planes = random_planes(16, dim)
+        planes = _default_planes(df, vec_col)
     banded = _hyperplane_banded(df, planes, bands, id_col, vec_col)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -232,8 +241,7 @@ def embedding_dedup_incremental(
     if store_policy not in ("admitted", "all"):
         raise ValueError(f"unknown store_policy {store_policy!r}")
     if planes is None:
-        dim = len(new_vecs.select(vec_col).first()[0])
-        planes = random_planes(16, dim)
+        planes = _default_planes(new_vecs, vec_col)
     vecs = new_vecs.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
