@@ -1639,10 +1639,12 @@ SELECT id_a, id_b, hamming FROM p WHERE hamming <= 1
 
 # --------------------------------------------------------------------
 # 31b. 64-bit SimHash banded pairs — the library DEFAULT configuration
-#      (64-bit signature, 8-bit bands: 256 band values, so the bucket
-#      equi-join keeps corpus-scale fan-out where 16-bit/4-bit bands
+#      (64-bit signature, bands = max_hamming + 1 = 4: the widest
+#      16-bit band values the pigeonhole guarantee allows, so buckets
+#      stay selective where narrow bands — 16-bit sigs' 4-bit bands —
 #      degenerate toward a cross join).  Brute-force DuckDB oracle:
-#      with max_hamming <= bands-1 the banded join is pigeonhole-exact.
+#      with max_hamming <= bands-1 the banded join is pigeonhole-exact
+#      and band choice never changes the output.
 # --------------------------------------------------------------------
 def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(

@@ -81,9 +81,14 @@ def curate_corpus(
     Downstream keeps ``disposition = 'kept'``; the other rows are the
     audit trail (what was dropped, why, and on whose account).
     """
-    assert max_hamming <= bands - 1, (
-        "pigeonhole-exact banded join needs max_hamming < bands"
-    )
+    if max_hamming > bands - 1:
+        # a looser setting silently classifies true near-dups as
+        # 'kept' (the banded join never surfaces them) — refuse, like
+        # simhash_dedup_incremental; never a stripped-under-`-O` assert
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got bands={bands}) for the banded join to be exact"
+        )
     txt = F.coalesce(F.col(text_col), F.lit(""))
     q_ok = F.col("quality") >= F.lit(min_quality)
     l_ok = F.col("lang_guess").isin(*languages)

@@ -365,8 +365,9 @@ def simhash_signature(text: Column, bits: int = 64) -> Column:
     md5(token), preserving the 16-bit oracle tier byte-for-byte; key k
     = md5("k|" || token)).  Default is 64: 16-bit signatures have
     4-bit bands whose 16 distinct values degenerate the band equi-join
-    toward a cross join beyond ~10^5 docs; 64-bit/8-bit bands give 256
-    values per band and corpus-scale fan-out (see
+    toward a cross join beyond ~10^5 docs; 64 bits at the default
+    bands = max_hamming + 1 = 4 give 16-bit band values and
+    corpus-scale fan-out (see simhash_pairs' banding rationale and
     tests/test_dedup_clusters.py::test_simhash64_band_fanout_bounded).
     """
     toks = F.array_distinct(word_tokens(text))
@@ -487,26 +488,40 @@ def hamming_expr(a: Column, b: Column, bits: int = 64) -> Column:
     return total
 
 
-def _simhash_banded(sig_df: DataFrame, bits: int, bands: int) -> DataFrame:
-    """(id, sig bit-string) -> (id, sig, band, bb) banded keys: the
-    signature split into ``bands`` substrings.  ``sig`` rides along for
-    the post-join exact Hamming verification."""
+def banded_bitstring(
+    sig_df: DataFrame,
+    bits: int,
+    bands: int,
+    sig_col: str = "sig",
+    carry: tuple[str, ...] = ("sig",),
+) -> DataFrame:
+    """(id, <carry...>, band, bb) banded keys: the ``sig_col`` bit
+    string split into ``bands`` substrings, one output row per band.
+    ``carry`` columns ride along for the post-join exact verification
+    (the Hamming sig for the SimHash tiers, the raw vector for the
+    hyperplane-LSH tiers in operators/similarity.py)."""
     rows = bits // bands
     return sig_df.select(
         "id",
-        "sig",
+        *carry,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.substring(F.col("sig"), b * rows + 1, rows).alias("bb"),
+                        F.substring(F.col(sig_col), b * rows + 1, rows).alias("bb"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("x"),
-    ).select("id", "sig", "x.band", "x.bb")
+    ).select("id", *carry, "x.band", "x.bb")
+
+
+def _simhash_banded(sig_df: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(id, sig) -> (id, sig, band, bb): banded_bitstring with the sig
+    itself as the verification payload."""
+    return banded_bitstring(sig_df, bits, bands)
 
 
 def _collapse_identical(

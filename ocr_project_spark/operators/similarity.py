@@ -128,14 +128,24 @@ def random_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return [[float(x) for x in row] for row in rng.randn(n_planes, dim)]
 
 
-def _default_planes(df: DataFrame, vec_col: str) -> list[list[float]]:
-    """Seeded 16-plane default, dimension sniffed from the first row.
-    An empty (or all-null) batch gets a 1-dim placeholder — no
-    signature is ever computed from it, but the plan must still build
-    (incremental callers legitimately pass empty batches)."""
-    row = df.select(vec_col).first()
-    dim = len(row[0]) if row is not None and row[0] is not None else 1
-    return random_planes(16, dim)
+def _default_planes(
+    dfs: list[DataFrame], vec_col: str = "v"
+) -> list[list[float]]:
+    """Seeded 16-plane default, dimension sniffed from the first
+    NON-NULL vector across ``dfs`` (a null first row must not pick a
+    wrong dimension: dimension-mismatched planes make every dot
+    product NULL, every sign bit '0', and the banded join degenerate
+    into a cross join).  The sniff is an eager driver-side job — pass
+    ``planes`` explicitly to keep plan construction lazy.  If no
+    non-null vector exists anywhere, a 1-dim placeholder keeps the
+    (empty) plan buildable."""
+    for df in dfs:
+        row = (
+            df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+        )
+        if row is not None:
+            return random_planes(16, len(row[0]))
+    return random_planes(16, 1)
 
 
 def _hyperplane_banded(
@@ -147,30 +157,18 @@ def _hyperplane_banded(
 ) -> DataFrame:
     """(id, v, band, bb) banded hyperplane-signature keys: the sign-bit
     string split into ``bands`` substrings; a pair is a candidate when
-    ANY band matches (the standard OR-amplified LSH construction —
-    same shape as dedup._simhash_banded / _minhash_banded).  ``v``
-    rides along for the post-join exact cosine verification."""
+    ANY band matches (the standard OR-amplified LSH construction).
+    ``v`` rides along for the post-join exact cosine verification.
+    Banding itself is dedup.banded_bitstring — the same helper the
+    SimHash tiers use."""
+    from ocr_project_spark.operators.dedup import banded_bitstring
+
     assert len(planes) % bands == 0, "len(planes) must divide into bands"
-    rows = len(planes) // bands
     e = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("_sig", hyperplane_signature(F.col("v"), planes))
-    return e.select(
-        "id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.substring(F.col("_sig"), b * rows + 1, rows).alias("bb"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("x"),
-    ).select("id", "v", "x.band", "x.bb")
+    return banded_bitstring(e, len(planes), bands, sig_col="_sig", carry=("v",))
 
 
 def cosine_dup_pairs_lsh(
@@ -194,7 +192,7 @@ def cosine_dup_pairs_lsh(
     cosine_dup_pairs(df, threshold) (pinned by pytest).
     """
     if planes is None:
-        planes = _default_planes(df, vec_col)
+        planes = _default_planes([df], vec_col)
     banded = _hyperplane_banded(df, planes, bands, id_col, vec_col)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -224,29 +222,53 @@ def embedding_dedup_incremental(
     incremental tier (exact md5 / MinHash / SimHash live in
     operators/dedup.py and share the same admission tail).
 
-    A new vector is rejected when an LSH-banded candidate in the
-    persisted store (or an already-admitted in-batch cluster keeper)
-    verifies at cosine >= threshold.  Returns (admitted ids, grown
-    store); the store persists (id, v) rows — signatures are
-    recomputed per call from the deterministic ``planes`` so the store
-    schema never pins an LSH configuration.
+    Admission semantics match the sibling tiers exactly (connected
+    components, not pairwise): the batch's verified LSH collisions
+    form a graph, any CLUSTER touching the store is rejected
+    wholesale, each surviving cluster admits its min-id keeper, and
+    non-colliding singles admit.  So a rejected vector's witness may
+    itself have been rejected (a chain A~B, B~C rejects C even when
+    cosine(A, C) < threshold) — the conservative behavior a dedup
+    pass wants.  Returns (admitted ids, grown store); the store
+    persists (id, v) rows — signatures are recomputed per call from
+    the deterministic ``planes`` so the store schema never pins an
+    LSH configuration.
 
-    Same recall caveat as cosine_dup_pairs_lsh: candidate generation
-    is approximate (a missed band collision admits a true near-dup);
+    Identical vectors collapse to min-id representatives before the
+    band self-join (the hot-bucket guard every tier carries): a batch
+    of N copies costs N star edges, not N^2 collision rows.  Same
+    recall caveat as cosine_dup_pairs_lsh: candidate generation is
+    approximate (a missed band collision admits a true near-dup);
     precision is exact.  store_policy as in the dedup tiers:
     'admitted' stores only survivors, 'all' records every seen vector.
     """
-    from ocr_project_spark.operators.dedup import _incremental_admit
+    from ocr_project_spark.operators.dedup import (
+        _collapse_identical,
+        _incremental_admit,
+    )
 
     if store_policy not in ("admitted", "all"):
         raise ValueError(f"unknown store_policy {store_policy!r}")
     if planes is None:
-        planes = _default_planes(new_vecs, vec_col)
+        planes = _default_planes(
+            [new_vecs.select(F.col(vec_col).alias("v"))]
+            + ([store] if store is not None else []),
+        )
     vecs = new_vecs.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    bn = _hyperplane_banded(vecs, planes, bands, "id", "v")
+    # identical-vector collapse: reps carry one row per distinct
+    # vector, members reconnect via star edges (cosine(v, v) = 1 >=
+    # any threshold, so identical vectors are mutual near-dups by
+    # construction — except the all-zero vector, whose cosine is
+    # defined 0 here; treat its copies as identical dups all the same,
+    # matching the SimHash tier where equal signatures always collapse)
+    reps, member_edges = _collapse_identical(
+        vecs.select("id", F.col("v").alias("sig")), F.col("sig")
+    )
+    reps = reps.select("id", F.col("sig").alias("v"))
+    bn = _hyperplane_banded(reps, planes, bands, "id", "v")
     if store is not None:
         bs = _hyperplane_banded(store, planes, bands, "id", "v")
         store_hits = (
@@ -266,7 +288,6 @@ def embedding_dedup_incremental(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    member_edges = rep_pairs.limit(0)
     return _incremental_admit(
         vecs, rep_pairs, member_edges, store_hits, store, store_policy
     )

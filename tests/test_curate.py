@@ -127,7 +127,5 @@ def test_corpus_invariants_sf0001(spark):
 
 
 def test_pigeonhole_guard():
-    import pyspark.sql  # noqa: F401  (spark fixture not needed: assert fires first)
-
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         curate_corpus(None, max_hamming=8, bands=8)

@@ -121,6 +121,30 @@ def test_incremental_corpus_invariants(emb, spark):
     assert rejected <= colliding  # (2) every rejection has a witness
 
 
+def test_identical_vector_batch_collapses(spark):
+    """A copy-heavy batch (the hot-bucket case): all copies land in one
+    cluster via star edges, the min id is admitted, and the rep-level
+    band self-join never saw the copies (its input is one row here —
+    pinned indirectly: N^2 collision rows would still yield the same
+    admission, so also assert the collapse helper's rep count)."""
+    from ocr_project_spark.operators.dedup import _collapse_identical
+
+    rows = [(i, _vec(3)) for i in range(10, 20)] + [(1, _vec(40))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    adm, store = embedding_dedup_incremental(df, None, threshold=0.9, planes=PLANES)
+    assert {r["id"] for r in adm.collect()} == {1, 10}
+    assert {r["id"] for r in store.collect()} == {1, 10}
+    vecs = df.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    reps, edges = _collapse_identical(
+        vecs.select("id", F.col("v").alias("sig")), F.col("sig")
+    )
+    assert reps.count() == 2  # 10 copies -> 1 rep (+ the lone vector)
+    assert edges.count() == 9  # star edges, not 45 pairwise rows
+
+
 def test_bad_store_policy_raises(spark):
     df = spark.createDataFrame([(1, _vec(0))], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
