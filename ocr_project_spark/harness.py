@@ -1183,6 +1183,41 @@ LIMIT 5
 """
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact batch k-NN join: 3 query vectors vs the rest of the
+    corpus, top-5 per query (similarity.knn_join — broadcast x corpus
+    scoring + two-phase partial top-k).  Oracle: brute-force cross
+    join + row_number window."""
+    emb = T(spark, sf_dir, "embeddings")
+    res = SIM.knn_join(
+        emb.where(F.col("vec_id") < 3),
+        emb.where(F.col("vec_id") >= 3),
+        k=5,
+        q_id="vec_id",
+    )
+    return res.select(
+        "qid", F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine")
+    )
+
+
+_SQL_KNN_JOIN = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3),
+     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id >= 3),
+     s AS (SELECT qid, vec_id,
+                  list_inner_product(qv, v)
+                    / (sqrt(list_inner_product(qv, qv))
+                       * sqrt(list_inner_product(v, v))) AS c_raw
+           FROM q CROSS JOIN c),
+     r AS (SELECT qid, vec_id, c_raw,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY c_raw DESC, vec_id) AS rnk
+           FROM s)
+SELECT qid, vec_id, round(c_raw, 4) AS cosine FROM r WHERE rnk <= 5
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     rows = {r["vec_id"]: r["embedding"] for r in emb.where(F.col("vec_id") <= 4).collect()}
@@ -2386,6 +2421,7 @@ FROM t GROUP BY 1, 2
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
     # --- new this round / never driver-checked / changed shape ---
+    "knn_join": q_knn_join,
     "curate_corpus": q_curate_corpus,
     "retry_routing": q_retry_routing,
     "engine_lang_filter": q_engine_lang_filter,
@@ -2418,7 +2454,6 @@ SPARK_QUERIES = {
     "dedup_then_extract": q_dedup_then_extract,
     "near_dup_pairs": q_near_dup_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "quality_scores": q_quality_scores,
     "quality_delta": q_quality_delta,
@@ -2440,6 +2475,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "knn_join": _SQL_KNN_JOIN,
     "curate_corpus": _SQL_CURATE,
     "retry_routing": _SQL_RETRY,
     "engine_lang_filter": _SQL_ENGINE_LANG,
@@ -2471,7 +2507,6 @@ ORACLE_SQL = {
     "dedup_then_extract": _SQL_DEDUP_EXTRACT,
     "near_dup_pairs": _SQL_NEAR_DUP,
     "minhash_lsh_pairs": _SQL_MINHASH,
-    "cosine_topk": _SQL_COSINE_TOPK,
     "ann_lsh_topk": _SQL_ANN_LSH,
     "quality_scores": _SQL_QUALITY,
     "quality_delta": _SQL_QUALITY_DELTA,
@@ -2498,6 +2533,10 @@ ORACLE_SQL = {
 # row covers them), the 16-bit simhash demo tier, the standalone forms
 # of the merged queries, and the three by-design-no-oracle queries.
 LOCAL_QUERIES = {
+    # folded: ivf_exhaustive_topk shares this exact oracle SQL and
+    # exercises a superset of the machinery, so one driver row covers
+    # both; the standalone form stays locally verified
+    "cosine_topk": q_cosine_topk,
     "extract_chunked_spans": q_extract_chunked_spans,
     "extract_pandas_spans": q_extract_pandas_spans,
     "gap_class": q_gap_class,
@@ -2516,6 +2555,7 @@ LOCAL_QUERIES = {
 }
 
 LOCAL_ORACLE_SQL = {
+    "cosine_topk": _SQL_COSINE_TOPK,
     "extract_chunked_spans": _SQL_EXTRACT_CHUNKED,
     "extract_pandas_spans": _SQL_EXTRACT_CHUNKED,
     "gap_class": _SQL_GAP_CLASS,
