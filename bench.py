@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "retry_routing",
     "minhash_lsh_pairs",
     "simhash64_pairs",
-    "cosine_topk",
+    "knn_join",
     "quality_scores",
     "error_rows",
 ]
@@ -90,7 +90,7 @@ def main() -> None:
     # documented 2x noisy-neighbor spread — min-over-3 is robust to a
     # one-sided noise spike landing on any single run.
     for name in BENCH_QUERIES:
-        fn = harness.SPARK_QUERIES[name]
+        fn = harness.SPARK_QUERIES.get(name) or harness.LOCAL_QUERIES[name]
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
