@@ -46,10 +46,10 @@ def build_parser(cfg=None) -> argparse.ArgumentParser:
     p.add_argument("--input", default=None,
                    help="documents_spans path (or use --bucketed-location)")
     p.add_argument("--input-format", default="parquet",
-                   choices=["parquet", "jsonl"],
-                   help="--input encoding; jsonl reads the pinned "
+                   choices=["parquet", "jsonl", "orc"],
+                   help="--input encoding; jsonl/orc read the pinned "
                         "DOCUMENTS_SPANS schema via sources/formats.py "
-                        "(DROPMALFORMED: broken lines are skipped)")
+                        "(jsonl is DROPMALFORMED: broken lines are skipped)")
     p.add_argument("--candidates", default=None, help="media_candidates parquet path")
     p.add_argument("--output", required=True, help="output root (tables written under it)")
     p.add_argument("--run-id", required=True)
@@ -171,6 +171,10 @@ def main(argv: list[str] | None = None) -> int:
             from ocr_project_spark.sources.formats import read_documents_jsonl
 
             docs = read_documents_jsonl(spark, args.input)
+        elif args.input_format == "orc":
+            from ocr_project_spark.sources.formats import read_documents_orc
+
+            docs = read_documents_orc(spark, args.input)
         else:
             docs = spark.read.parquet(args.input)
         cands = (

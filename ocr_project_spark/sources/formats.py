@@ -95,6 +95,37 @@ def read_documents_csv(
     )
 
 
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Interleaved documents from ORC with the pinned DOCUMENTS_SPANS
+    schema.  ORC is a first-class columnar alternative to parquet in
+    warehouse migrations (same nested-struct support, predicate
+    pushdown, and column pruning through the native reader) — the
+    schema pin keeps a drifted file from silently widening types."""
+    return spark.read.schema(SCH.DOCUMENTS_SPANS).orc(path)
+
+
+def write_documents_orc(docs: DataFrame, path: str) -> None:
+    """DOCUMENTS_SPANS -> ORC (zlib default; columnar, splittable)."""
+    docs.write.mode("overwrite").orc(path)
+
+
+def read_documents_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Interleaved documents from Avro (row-oriented — the common
+    Kafka-archive landing format).  The spark-avro module is an
+    external jar not shipped in this sandbox, so availability is
+    probed per-call and absence raises a clear error instead of
+    Spark's generic failed-to-find-data-source."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException without the jar
+        if "avro" in str(e).lower():
+            raise NotImplementedError(
+                "spark-avro module not on the classpath; submit with "
+                "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            ) from e
+        raise
+
+
 def read_media_binaries(
     spark: SparkSession, path: str, glob: str = "*", limit: int | None = None
 ) -> DataFrame:

@@ -151,3 +151,62 @@ def test_jsonl_quarantine_survives_custom_corrupt_col_conf(spark, tmp_path):
     bad = [r for r in rows if r[CORRUPT_COL] is not None]
     assert len(rows) == 2 and len(bad) == 1
     assert bad[0][CORRUPT_COL].startswith("definitely not json")
+
+
+def test_orc_round_trip_preserves_extraction(spark, corpus_dfs, tmp_path):
+    from ocr_project_spark.operators.extract import extract
+    from ocr_project_spark.sources.formats import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    docs_df, cands_df = corpus_dfs
+    path = str(tmp_path / "docs_orc")
+    write_documents_orc(docs_df, path)
+    docs_o = read_documents_orc(spark, path)
+    assert docs_o.schema.simpleString() == docs_df.schema.simpleString()
+
+    def key(df):
+        return {
+            r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+            for r in extract(df, cands_df).collect()
+        }
+
+    assert key(docs_o) == key(docs_df)
+
+
+def test_orc_scan_prunes_and_pushes(spark, corpus_dfs, tmp_path):
+    """The ORC native reader must keep the same scan hygiene the
+    parquet path is held to: pruned ReadSchema + pushed filters."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+    from ocr_project_spark.sources.formats import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    docs_df, _ = corpus_dfs
+    path = str(tmp_path / "docs_orc_prune")
+    write_documents_orc(docs_df, path)
+    q = (
+        read_documents_orc(spark, path)
+        .where(F.col("doc_id") == "doc-000001")
+        .select("doc_id")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,doc-000001)]" in plan
+    assert "spans" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_avro_absence_raises_actionable(spark, tmp_path):
+    import pytest as _pytest
+
+    from ocr_project_spark.sources.formats import read_documents_avro
+
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        read_documents_avro(spark, str(tmp_path / "nothing.avro"))
