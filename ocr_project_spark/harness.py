@@ -1760,6 +1760,53 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(d, min_quality=0.7, languages=("en",))
 
 
+# --------------------------------------------------------------------
+# 32c. Benchmark decontamination (operators/curate.py): distinct
+#      3-gram overlap between each corpus document and a held-out
+#      pseudo-benchmark slice (doc_id >= 480), contaminated when >= 5
+#      shingles hit.  min_hits=5 sits inside the measured sf0.01 hit
+#      range (median 1, max 29) so both flag values appear.
+# --------------------------------------------------------------------
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import decontaminate
+
+    d = T(spark, sf_dir, "documents")
+    return decontaminate(
+        d.where(F.col("doc_id") < 480),
+        d.where(F.col("doc_id") >= 480),
+        n=3,
+        min_hits=5,
+    )
+
+
+_SQL_SHINGLES3 = (
+    "CASE WHEN len({t}) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(0, len({t})-3), "
+    "i -> array_to_string(list_slice({t}, i+1, i+3), ' '))) "
+    "ELSE [array_to_string({t}, ' ')] END"
+)
+
+_SQL_DECONTAMINATE = """
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 480),
+     bt AS (SELECT {toks} AS toks FROM documents WHERE doc_id >= 480),
+     ds AS (SELECT doc_id, unnest({sh_d}) AS s FROM d),
+     bs AS (SELECT DISTINCT unnest({sh_b}) AS s FROM bt),
+     h AS (SELECT doc_id, count(*) AS bench_hits
+           FROM (SELECT * FROM ds WHERE s <> '') dd
+           JOIN (SELECT * FROM bs WHERE s <> '') bb USING (s)
+           GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(h.bench_hits, 0) AS bench_hits,
+       COALESCE(h.bench_hits, 0) >= 5 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id < 480) d
+LEFT JOIN h USING (doc_id)
+""".format(
+    toks=_WORD_TOKS.format(c="text"),
+    sh_d=_SQL_SHINGLES3.format(t="toks"),
+    sh_b=_SQL_SHINGLES3.format(t="toks"),
+)
+
+
 _SQL_CURATE = """
 WITH base AS (
   SELECT doc_id, {ws} AS ws, {wd} AS wd FROM documents WHERE doc_id < 2000
@@ -2422,6 +2469,7 @@ FROM t GROUP BY 1, 2
 SPARK_QUERIES = {
     # --- new this round / never driver-checked / changed shape ---
     "knn_join": q_knn_join,
+    "decontaminate": q_decontaminate,
     "curate_corpus": q_curate_corpus,
     "retry_routing": q_retry_routing,
     "engine_lang_filter": q_engine_lang_filter,
@@ -2452,7 +2500,6 @@ SPARK_QUERIES = {
     "union_slices": q_union_slices,
     "exact_dedup": q_exact_dedup,
     "dedup_then_extract": q_dedup_then_extract,
-    "near_dup_pairs": q_near_dup_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "quality_scores": q_quality_scores,
@@ -2476,6 +2523,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "knn_join": _SQL_KNN_JOIN,
+    "decontaminate": _SQL_DECONTAMINATE,
     "curate_corpus": _SQL_CURATE,
     "retry_routing": _SQL_RETRY,
     "engine_lang_filter": _SQL_ENGINE_LANG,
@@ -2505,7 +2553,6 @@ ORACLE_SQL = {
     "union_slices": _SQL_UNION,
     "exact_dedup": _SQL_EXACT_DEDUP,
     "dedup_then_extract": _SQL_DEDUP_EXTRACT,
-    "near_dup_pairs": _SQL_NEAR_DUP,
     "minhash_lsh_pairs": _SQL_MINHASH,
     "ann_lsh_topk": _SQL_ANN_LSH,
     "quality_scores": _SQL_QUALITY,
@@ -2537,6 +2584,9 @@ LOCAL_QUERIES = {
     # exercises a superset of the machinery, so one driver row covers
     # both; the standalone form stays locally verified
     "cosine_topk": q_cosine_topk,
+    # folded: the exact-Jaccard pair tier is the bounded verification
+    # oracle for the MinHash tier that stays driver-checked
+    "near_dup_pairs": q_near_dup_pairs,
     "extract_chunked_spans": q_extract_chunked_spans,
     "extract_pandas_spans": q_extract_pandas_spans,
     "gap_class": q_gap_class,
@@ -2556,6 +2606,7 @@ LOCAL_QUERIES = {
 
 LOCAL_ORACLE_SQL = {
     "cosine_topk": _SQL_COSINE_TOPK,
+    "near_dup_pairs": _SQL_NEAR_DUP,
     "extract_chunked_spans": _SQL_EXTRACT_CHUNKED,
     "extract_pandas_spans": _SQL_EXTRACT_CHUNKED,
     "gap_class": _SQL_GAP_CLASS,

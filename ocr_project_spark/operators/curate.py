@@ -177,3 +177,71 @@ def curate_corpus(
 def curated_keepers(curated: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The surviving ids from a ``curate_corpus`` result."""
     return curated.where(F.col("disposition") == "kept").select(id_col)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per document, count the DISTINCT
+    word n-grams (dedup.shingles) that also occur anywhere in the
+    benchmark corpus; flag ``contaminated`` when the count reaches
+    ``min_hits`` -> (doc_id, bench_hits, contaminated).
+
+    The eval-leak guard a pretraining pipeline runs before training —
+    the reference engine has no corpus ops; this extends the curation
+    tier (see curate_corpus) with the standard n-gram-overlap
+    contamination test.
+
+    Scale shape: the benchmark side reduces to one DISTINCT shingle
+    set (eval suites are tiny next to a crawl) and is broadcast by
+    default, so the corpus side never shuffles for the match — explode
+    (narrow) -> broadcast hash join -> one groupBy(doc_id) over only
+    the MATCHED rows, then a left join back so zero-hit documents
+    keep a row.  Set ``broadcast_benchmark=False`` when the benchmark
+    itself is corpus-sized (shuffled equi-join on the shingle).
+    Empty-token documents produce no shingles on either side (the
+    degenerate '' shingle is filtered, so an empty doc never matches
+    an empty benchmark line).
+    """
+    from ocr_project_spark.operators.dedup import shingles
+
+    # explode_outer + isNotNull: a plain explode of the shingle
+    # expression lets the optimizer infer size(..) > 0 and duplicate
+    # the whole transform into a scan-level Filter
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(shingles(F.col(text_col), n)).alias("s"),
+        )
+        .where(F.col("s").isNotNull() & (F.col("s") != ""))
+    )
+    bsh = (
+        benchmark.select(
+            F.explode_outer(shingles(F.col(bench_text_col), n)).alias("s")
+        )
+        .where(F.col("s").isNotNull() & (F.col("s") != ""))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bsh = F.broadcast(bsh)
+    hits = sh.join(bsh, "s").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("bench_hits")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("bench_hits"), F.lit(0)).alias("bench_hits"),
+            (F.coalesce(F.col("bench_hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -129,3 +129,70 @@ def test_corpus_invariants_sf0001(spark):
 def test_pigeonhole_guard():
     with pytest.raises(ValueError):
         curate_corpus(None, max_hamming=8, bands=8)
+
+
+def test_decontaminate_counts_match_python_reference(spark):
+    from ocr_project_spark.operators.curate import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here entirely different"),
+            (3, None),                      # null text -> 0 hits
+            (4, "quick brown fox"),         # single shingle, hit
+            (5, "xy"),                      # < n tokens, no real shingle
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps into view"), (101, "")],
+        "doc_id long, text string",
+    )
+
+    def sh3(t):
+        toks = [w for w in __import__("re").split(r"[^a-z0-9]+", (t or "").lower()) if w]
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)} - {""}
+
+    bset = set().union(*(sh3(t) for _, t in bench.collect()))
+    want = {
+        r["doc_id"]: len(sh3(r["text"]) & bset) for r in docs.collect()
+    }
+    got = {
+        r["doc_id"]: r["bench_hits"]
+        for r in decontaminate(docs, bench, n=3, min_hits=2).collect()
+    }
+    assert got == want
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, bench, n=3, min_hits=2).collect()
+    }
+    assert flags == {i: want[i] >= 2 for i in want}
+    # every input doc keeps a row, including null/short/zero-hit ones
+    assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_decontaminate_empty_docs_never_match_empty_benchmark(spark):
+    """The degenerate '' shingle must not create cross-contamination
+    between token-less documents and token-less benchmark lines."""
+    from ocr_project_spark.operators.curate import decontaminate
+
+    docs = spark.createDataFrame([(1, ""), (2, "!!!")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "???")], "doc_id long, text string")
+    rows = decontaminate(docs, bench, min_hits=1).collect()
+    assert all(r["bench_hits"] == 0 and not r["contaminated"] for r in rows)
+
+
+def test_decontaminate_shuffled_join_parity(spark):
+    """broadcast_benchmark=False (corpus-sized benchmark fallback)
+    returns identical rows."""
+    from ocr_project_spark.operators.curate import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = decontaminate(docs, docs.limit(5), min_hits=3).collect()
+    b = decontaminate(
+        docs, docs.limit(5), min_hits=3, broadcast_benchmark=False
+    ).collect()
+    key = lambda rows: {(r["doc_id"], r["bench_hits"], r["contaminated"]) for r in rows}
+    assert key(a) == key(b)
