@@ -1761,6 +1761,38 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# 32d. Deterministic stratified hash sampling (operators/curate.py):
+#      keep-iff substring(md5(key),1,8) < per-stratum hex threshold —
+#      reproducible across runs/cluster sizes/repartitionings, a pure
+#      narrow filter, and byte-portable to the DuckDB oracle (same
+#      md5, same fixed-length hex string comparison).
+# --------------------------------------------------------------------
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import hash_sample
+
+    d = T(spark, sf_dir, "documents")
+    return hash_sample(
+        d,
+        strata_col="lang",
+        rates={"en": 0.6, "de": 0.3},
+        default_rate=0.15,
+        salt="r3",
+    ).select("doc_id", "lang")
+
+
+_SQL_HASH_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE substring(md5('r3|' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < (CASE lang WHEN 'en' THEN '{en}' WHEN 'de' THEN '{de}'
+               ELSE '{other}' END)
+""".format(
+    en=format(int(0.6 * 16**8), "08x"),
+    de=format(int(0.3 * 16**8), "08x"),
+    other=format(int(0.15 * 16**8), "08x"),
+)
+
+
+# --------------------------------------------------------------------
 # 32c. Benchmark decontamination (operators/curate.py): distinct
 #      3-gram overlap between each corpus document and a held-out
 #      pseudo-benchmark slice (doc_id >= 480), contaminated when >= 5
@@ -2470,6 +2502,7 @@ SPARK_QUERIES = {
     # --- new this round / never driver-checked / changed shape ---
     "knn_join": q_knn_join,
     "decontaminate": q_decontaminate,
+    "hash_sample": q_hash_sample,
     "curate_corpus": q_curate_corpus,
     "retry_routing": q_retry_routing,
     "engine_lang_filter": q_engine_lang_filter,
@@ -2497,7 +2530,6 @@ SPARK_QUERIES = {
     "region_revenue": q_region_revenue,
     "left_join_fallback": q_left_join_fallback,
     "jaccard_adjacent": q_jaccard_adjacent,
-    "union_slices": q_union_slices,
     "exact_dedup": q_exact_dedup,
     "dedup_then_extract": q_dedup_then_extract,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2524,6 +2556,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "knn_join": _SQL_KNN_JOIN,
     "decontaminate": _SQL_DECONTAMINATE,
+    "hash_sample": _SQL_HASH_SAMPLE,
     "curate_corpus": _SQL_CURATE,
     "retry_routing": _SQL_RETRY,
     "engine_lang_filter": _SQL_ENGINE_LANG,
@@ -2550,7 +2583,6 @@ ORACLE_SQL = {
     "region_revenue": _SQL_REGION_REVENUE,
     "left_join_fallback": _SQL_LEFT_JOIN,
     "jaccard_adjacent": _SQL_JACCARD_ADJ,
-    "union_slices": _SQL_UNION,
     "exact_dedup": _SQL_EXACT_DEDUP,
     "dedup_then_extract": _SQL_DEDUP_EXTRACT,
     "minhash_lsh_pairs": _SQL_MINHASH,
@@ -2587,6 +2619,9 @@ LOCAL_QUERIES = {
     # folded: the exact-Jaccard pair tier is the bounded verification
     # oracle for the MinHash tier that stays driver-checked
     "near_dup_pairs": q_near_dup_pairs,
+    # folded: U2's two-slice union+distinct demo — the union primitive
+    # itself rides in several driver queries' plans
+    "union_slices": q_union_slices,
     "extract_chunked_spans": q_extract_chunked_spans,
     "extract_pandas_spans": q_extract_pandas_spans,
     "gap_class": q_gap_class,
@@ -2607,6 +2642,7 @@ LOCAL_QUERIES = {
 LOCAL_ORACLE_SQL = {
     "cosine_topk": _SQL_COSINE_TOPK,
     "near_dup_pairs": _SQL_NEAR_DUP,
+    "union_slices": _SQL_UNION,
     "extract_chunked_spans": _SQL_EXTRACT_CHUNKED,
     "extract_pandas_spans": _SQL_EXTRACT_CHUNKED,
     "gap_class": _SQL_GAP_CLASS,

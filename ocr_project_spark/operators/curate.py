@@ -245,3 +245,65 @@ def decontaminate(
             ),
         )
     )
+
+
+def _hash_threshold(rate: float) -> str:
+    """rate in [0,1] -> 8-hex-digit threshold string such that
+    ``substring(md5(key),1,8) < threshold`` keeps ~rate of keys.
+    Fixed-length lowercase hex compares lexicographically exactly as
+    it compares numerically, so the predicate is pure string ops —
+    portable byte-for-byte to any engine with the same md5 (the
+    DuckDB oracle included).  rate>=1 returns 'g' (sorts above every
+    hex digit: keep all); rate<=0 returns '00000000' (keep none)."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return "00000000"
+    return format(int(rate * 16**8), "08x")
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float | None = None,
+    key_col: str = "doc_id",
+    salt: str = "",
+    strata_col: str | None = None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic content-hash sampling: keep a row iff the first 8
+    hex digits of md5(salt|key) fall below the rate's threshold.
+
+    The sampling primitive a 10^12-doc pipeline needs instead of
+    ``df.sample()``: reproducible across runs, cluster sizes, AND
+    repartitionings (no RNG state rides on partition ids), stable
+    under incremental reruns (a document's verdict never changes), and
+    a pure narrow filter — pushed into the scan, no shuffle, no
+    sampling pass.  Different ``salt`` values draw independent samples
+    from the same corpus (train/eval splits that never collide).
+
+    Uniform form: ``hash_sample(df, rate=0.1)``.  Stratified form:
+    ``hash_sample(df, strata_col="lang", rates={"en": .5, "de": .2})``
+    keeps per-stratum rates (strata absent from ``rates`` fall back to
+    ``default_rate`` — 0.0, drop, by default: an UNKNOWN stratum in a
+    rate table should be an explicit decision, not a silent keep).
+    """
+    if (rate is None) == (rates is None):
+        raise ValueError("pass exactly one of rate= or rates=")
+    if rates is not None and strata_col is None:
+        raise ValueError("rates= needs strata_col=")
+    prefix = f"{salt}|" if salt else ""
+    h = F.substring(
+        F.md5(F.concat(F.lit(prefix), F.col(key_col).cast("string"))), 1, 8
+    )
+    if rate is not None:
+        keep = h < F.lit(_hash_threshold(rate))
+    else:
+        expr = None
+        for stratum, r in rates.items():
+            cond = F.col(strata_col) == stratum
+            thr = h < F.lit(_hash_threshold(r))
+            expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+        fallback = h < F.lit(_hash_threshold(default_rate))
+        keep = fallback if expr is None else expr.otherwise(fallback)
+    return df.where(keep)

@@ -196,3 +196,82 @@ def test_decontaminate_shuffled_join_parity(spark):
     ).collect()
     key = lambda rows: {(r["doc_id"], r["bench_hits"], r["contaminated"]) for r in rows}
     assert key(a) == key(b)
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    from ocr_project_spark.operators.curate import hash_sample
+
+    docs = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    kept = hash_sample(docs, rate=0.25, key_col="doc_id")
+    n = kept.count()
+    # binomial(20000, .25): sd ~ 61; allow 5 sd
+    assert abs(n - 5000) < 310, n
+    # deterministic: same ids every run, invariant under repartitioning
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in hash_sample(docs.repartition(17), rate=0.25).collect()}
+    assert a == b
+    # nested property: sample(0.1) is a subset of sample(0.25)
+    c = {r["doc_id"] for r in hash_sample(docs, rate=0.1).collect()}
+    assert c <= a
+
+
+def test_hash_sample_salts_draw_independent_samples(spark):
+    from ocr_project_spark.operators.curate import hash_sample
+
+    docs = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(docs, rate=0.2, salt="train").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, rate=0.2, salt="eval").collect()}
+    overlap = len(a & b) / (0.2 * 10000)
+    # independent draws overlap ~rate (0.2); identical draws would be 1.0
+    assert 0.05 < overlap < 0.4, overlap
+
+
+def test_hash_sample_stratified_rates(spark):
+    from ocr_project_spark.operators.curate import hash_sample
+
+    docs = spark.range(0, 30000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END AS lang"
+    )
+    kept = hash_sample(
+        docs, strata_col="lang", rates={"en": 0.5, "de": 0.1}, default_rate=0.0
+    )
+    counts = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
+    assert abs(counts["en"] - 5000) < 350
+    assert abs(counts["de"] - 1000) < 200
+    assert "fr" not in counts  # unknown stratum drops by default
+
+
+def test_hash_sample_edges_and_errors(spark):
+    import pytest as _pytest
+
+    from ocr_project_spark.operators.curate import hash_sample
+
+    docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    assert hash_sample(docs, rate=1.0).count() == 100
+    assert hash_sample(docs, rate=0.0).count() == 0
+    with _pytest.raises(ValueError):
+        hash_sample(docs)
+    with _pytest.raises(ValueError):
+        hash_sample(docs, rate=0.5, rates={"en": 0.1}, strata_col="lang")
+    with _pytest.raises(ValueError):
+        hash_sample(docs, rates={"en": 0.1})
+
+
+def test_hash_sample_filter_reaches_scan(spark, tmp_path):
+    """The sample predicate is a narrow filter the scan evaluates —
+    no shuffle, no sampling pass (scan-level Filter; md5 is not a
+    parquet-pushable predicate but must sit directly on the scan)."""
+    import contextlib
+    import io
+
+    from ocr_project_spark.operators.curate import hash_sample
+
+    p = str(tmp_path / "docs")
+    spark.range(0, 1000).withColumnRenamed("id", "doc_id").write.parquet(p)
+    q = hash_sample(spark.read.parquet(p), rate=0.5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Filter" in plan and "md5" in plan
