@@ -1761,7 +1761,38 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# 32d. Deterministic stratified hash sampling (operators/curate.py):
+# 32e. Sequence packing (operators/pack.py): greedy first-fit token
+#      packing into budget-bounded training sequences.  Packing is
+#      partition-local by design; the driver query coalesces to ONE
+#      partition so the layout is the global greedy over doc_id order,
+#      which a DuckDB recursive CTE replays exactly (the greedy reset
+#      is a two-field state machine: pack += (acc + c > budget),
+#      acc = reset-or-accumulate — not a plain window).
+# --------------------------------------------------------------------
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.pack import pack_sequences
+
+    d = T(spark, sf_dir, "documents").coalesce(1)
+    return pack_sequences(d, budget=500)
+
+
+_SQL_PACK = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+), rec AS (
+  SELECT rn, doc_id, n_tokens, 0 AS pack, n_tokens AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN rec.acc + d.n_tokens > 500 THEN rec.pack + 1 ELSE rec.pack END,
+         CASE WHEN rec.acc + d.n_tokens > 500 THEN d.n_tokens
+              ELSE rec.acc + d.n_tokens END
+  FROM rec JOIN d ON d.rn = rec.rn + 1
+)
+SELECT doc_id, n_tokens, '0-' || CAST(pack AS VARCHAR) AS pack_id FROM rec
+""".format(toks=_WORD_TOKS.format(c="text"))
 #      keep-iff substring(md5(key),1,8) < per-stratum hex threshold —
 #      reproducible across runs/cluster sizes/repartitionings, a pure
 #      narrow filter, and byte-portable to the DuckDB oracle (same
@@ -2503,6 +2534,7 @@ SPARK_QUERIES = {
     "knn_join": q_knn_join,
     "decontaminate": q_decontaminate,
     "hash_sample": q_hash_sample,
+    "pack_sequences": q_pack_sequences,
     "curate_corpus": q_curate_corpus,
     "retry_routing": q_retry_routing,
     "engine_lang_filter": q_engine_lang_filter,
@@ -2538,7 +2570,6 @@ SPARK_QUERIES = {
     "quality_delta": q_quality_delta,
     "strategy_routing": q_strategy_routing,
     "bucket_ladder": q_bucket_ladder,
-    "boost_ladder": q_boost_ladder,
     "distinct_tokens": q_distinct_tokens,
     "topk_orders": q_topk_orders,
     "xy_cut": q_xy_cut,
@@ -2557,6 +2588,7 @@ ORACLE_SQL = {
     "knn_join": _SQL_KNN_JOIN,
     "decontaminate": _SQL_DECONTAMINATE,
     "hash_sample": _SQL_HASH_SAMPLE,
+    "pack_sequences": _SQL_PACK,
     "curate_corpus": _SQL_CURATE,
     "retry_routing": _SQL_RETRY,
     "engine_lang_filter": _SQL_ENGINE_LANG,
@@ -2591,7 +2623,6 @@ ORACLE_SQL = {
     "quality_delta": _SQL_QUALITY_DELTA,
     "strategy_routing": _SQL_STRATEGY,
     "bucket_ladder": _SQL_BUCKET,
-    "boost_ladder": _SQL_BOOST,
     "distinct_tokens": _SQL_DISTINCT_TOKENS,
     "topk_orders": _SQL_TOPK_ORDERS,
     "xy_cut": _SQL_XY_CUT,
@@ -2622,6 +2653,9 @@ LOCAL_QUERIES = {
     # folded: U2's two-slice union+distinct demo — the union primitive
     # itself rides in several driver queries' plans
     "union_slices": q_union_slices,
+    # folded: the C1-C6 ladder family keeps bucket_ladder,
+    # quality_scores AND normalize_text driver-checked
+    "boost_ladder": q_boost_ladder,
     "extract_chunked_spans": q_extract_chunked_spans,
     "extract_pandas_spans": q_extract_pandas_spans,
     "gap_class": q_gap_class,
@@ -2643,6 +2677,7 @@ LOCAL_ORACLE_SQL = {
     "cosine_topk": _SQL_COSINE_TOPK,
     "near_dup_pairs": _SQL_NEAR_DUP,
     "union_slices": _SQL_UNION,
+    "boost_ladder": _SQL_BOOST,
     "extract_chunked_spans": _SQL_EXTRACT_CHUNKED,
     "extract_pandas_spans": _SQL_EXTRACT_CHUNKED,
     "gap_class": _SQL_GAP_CLASS,

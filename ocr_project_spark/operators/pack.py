@@ -1,0 +1,111 @@
+"""Sequence packing: assign documents to fixed token-budget packs —
+the batching step a pretraining pipeline runs after curation (concat
+documents into ~budget-token training sequences, minimal padding).
+
+The reference engine has no corpus ops; this extends the curation tier
+(operators/curate.py) with the standard greedy first-fit packer.  The
+greedy reset (a pack closes when the NEXT document would overflow)
+is not expressible as a Spark window — a running sum cannot reset on
+its own value — so the assignment runs in a NARROW Arrow-batched
+kernel per partition: zero shuffle, pack ids scoped by partition id.
+
+Scale contract: packing is partition-local and deterministic GIVEN the
+partitioning (each partition packs its documents in ``id_col`` order;
+packs never span partitions — at 10^12 docs a global greedy order
+would serialize the job for no modeling benefit).  Callers wanting a
+reproducible layout fix the partitioning first (stable input files, or
+repartitionByRange(id_col)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_project_spark.functions.text import word_tokens
+
+
+def _pack_bounds(counts, budget: int):
+    """Greedy first-fit pack index per element of ``counts`` (numpy
+    int array, id-order).  Loops over PACKS, not documents: each pack
+    end is one np.searchsorted into the cumulative sum — O(packs *
+    log n) instead of a per-document python loop.  A single document
+    larger than ``budget`` gets a pack of its own."""
+    import numpy as np
+
+    n = len(counts)
+    out = np.zeros(n, dtype=np.int64)
+    csum = np.cumsum(counts, dtype=np.int64)
+    start = 0
+    pack = 0
+    while start < n:
+        base = csum[start - 1] if start else 0
+        # last j with csum[j] - base <= budget; 'right' then step back
+        end = int(np.searchsorted(csum, base + budget, side="right"))
+        if end <= start:  # oversized single doc: own pack
+            end = start + 1
+        out[start:end] = pack
+        pack += 1
+        start = end
+    return out
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, pack_id) — greedy first-fit packing of
+    documents into packs whose token sum stays <= ``budget`` (except
+    single documents that alone exceed it, which pack alone rather
+    than being dropped — truncation is the trainer's decision).
+
+    Token counts come from ``tokens_col`` when given (a precomputed
+    count column), else ``size(word_tokens(text_col))`` computed
+    JVM-side in the projection that feeds the kernel — the python
+    kernel only ever sees (id, n_tokens) ints, never text.
+    pack_id is ``'<partition>-<seq>'``: globally unique, stable given
+    the input partitioning.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n_tokens = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(word_tokens(F.col(text_col)))
+    )
+    slim = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            # null counts (null precomputed column) pack as 0 tokens
+            F.coalesce(n_tokens.cast("long"), F.lit(0)).alias("n_tokens"),
+            F.spark_partition_id().alias("_p"),
+        )
+        # narrow: order documents by id within each partition so the
+        # packing is a pure function of (partitioning, ids, counts)
+        .sortWithinPartitions("doc_id")
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        # sortWithinPartitions ordered rows; batches preserve order
+        packs = _pack_bounds(df["n_tokens"].to_numpy(), budget)
+        part = int(df["_p"].iloc[0])
+        df["pack_id"] = [f"{part}-{p}" for p in packs]
+        yield df[["doc_id", "n_tokens", "pack_id"]]
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    base = slim.select("doc_id", "n_tokens").schema
+    # fresh StructType: .add() mutates its receiver in place
+    out_schema = StructType(
+        list(base.fields) + [StructField("pack_id", StringType(), True)]
+    )
+    return slim.mapInPandas(kernel, out_schema)

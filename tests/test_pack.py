@@ -1,0 +1,108 @@
+"""Sequence packing (operators/pack.py): budget respected, greedy
+boundary tightness, oversized-doc own-pack rule, conservation,
+determinism given a fixed partitioning, and the kernel's pure
+numpy pack-jump helper against a python greedy reference."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_project_spark.operators.pack import _pack_bounds, pack_sequences
+
+
+def _greedy_reference(counts, budget):
+    out, pack, acc = [], 0, 0
+    for c in counts:
+        if acc and acc + c > budget:
+            pack += 1
+            acc = 0
+        acc += c
+        out.append(pack)
+        if c > budget:  # oversized doc closed its own pack
+            pack += 1
+            acc = 0
+    return out
+
+
+@pytest.mark.parametrize(
+    "counts",
+    [
+        [5, 5, 5, 5],
+        [10, 1, 10, 1],
+        [25, 1, 1],          # oversized first
+        [1, 25, 1],          # oversized mid
+        [1] * 37,
+        [],
+        [10, 10, 10],        # exact fits
+    ],
+)
+def test_pack_bounds_matches_greedy_reference(counts):
+    import numpy as np
+
+    got = list(_pack_bounds(np.array(counts, dtype=np.int64), 10))
+    assert got == _greedy_reference(counts, 10)
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 200
+    packed = pack_sequences(docs.repartition(4, "doc_id"), budget=budget)
+    rows = packed.collect()
+    # conservation: every doc exactly once
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for r in rows:
+        packs[r["pack_id"]].append(r)
+    for pid, members in packs.items():
+        total = sum(m["n_tokens"] for m in members)
+        # budget respected unless a single oversized doc packs alone
+        assert total <= budget or len(members) == 1, (pid, total)
+
+    # greedy tightness: within a partition, consecutive packs could
+    # not be merged (first doc of pack p+1 would overflow pack p)
+    by_part = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["pack_id"].split("-")[0], r["doc_id"])):
+        by_part[r["pack_id"].split("-")[0]].append(r)
+    for part_rows in by_part.values():
+        sums = defaultdict(int)
+        order = []
+        for r in part_rows:
+            if r["pack_id"] not in sums:
+                order.append(r["pack_id"])
+            sums[r["pack_id"]] += r["n_tokens"]
+        firsts = {}
+        for r in part_rows:
+            firsts.setdefault(r["pack_id"], r["n_tokens"])
+        for a, b in zip(order, order[1:]):
+            assert sums[a] + firsts[b] > budget, (a, b)
+
+
+def test_pack_sequences_deterministic_given_partitioning(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r["doc_id"], r["pack_id"])
+        for r in pack_sequences(docs.repartition(4, "doc_id"), budget=150).collect()
+    }
+    b = {
+        (r["doc_id"], r["pack_id"])
+        for r in pack_sequences(docs.repartition(4, "doc_id"), budget=150).collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_precomputed_tokens_and_errors(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 5)], "doc_id long, ntok long"
+    )
+    rows = pack_sequences(
+        docs.coalesce(1), budget=20, tokens_col="ntok"
+    ).collect()
+    packs = {r["doc_id"]: r["pack_id"] for r in rows}
+    assert packs[1] == packs[2] != packs[3]
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget=0, tokens_col="ntok")

@@ -35,6 +35,7 @@ def test_entry_module_exposes_driver_contract():
     assert set(qs) == set(harness.SPARK_QUERIES)
     assert set(osql) == set(harness.ORACLE_SQL)
     # ordering is the sampling contract: never-checked/new entries first
-    assert list(qs)[:4] == [
-        "knn_join", "decontaminate", "hash_sample", "curate_corpus",
+    assert list(qs)[:5] == [
+        "knn_join", "decontaminate", "hash_sample", "pack_sequences",
+        "curate_corpus",
     ]
