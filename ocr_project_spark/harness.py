@@ -1761,7 +1761,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# 32e. Sequence packing (operators/pack.py): greedy first-fit token
+# 32c. Sequence packing (operators/pack.py): greedy first-fit token
 #      packing into budget-bounded training sequences.  Packing is
 #      partition-local by design; the driver query coalesces to ONE
 #      partition so the layout is the global greedy over doc_id order,
@@ -1793,6 +1793,10 @@ WITH RECURSIVE d AS (
 )
 SELECT doc_id, n_tokens, '0-' || CAST(pack AS VARCHAR) AS pack_id FROM rec
 """.format(toks=_WORD_TOKS.format(c="text"))
+
+
+# --------------------------------------------------------------------
+# 32d. Deterministic stratified hash sampling (operators/curate.py):
 #      keep-iff substring(md5(key),1,8) < per-stratum hex threshold —
 #      reproducible across runs/cluster sizes/repartitionings, a pure
 #      narrow filter, and byte-portable to the DuckDB oracle (same
@@ -1824,7 +1828,7 @@ WHERE substring(md5('r3|' || CAST(doc_id AS VARCHAR)), 1, 8)
 
 
 # --------------------------------------------------------------------
-# 32c. Benchmark decontamination (operators/curate.py): distinct
+# 32e. Benchmark decontamination (operators/curate.py): distinct
 #      3-gram overlap between each corpus document and a held-out
 #      pseudo-benchmark slice (doc_id >= 480), contaminated when >= 5
 #      shingles hit.  min_hits=5 sits inside the measured sf0.01 hit

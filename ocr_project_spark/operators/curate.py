@@ -293,9 +293,12 @@ def hash_sample(
     if rates is not None and strata_col is None:
         raise ValueError("rates= needs strata_col=")
     prefix = f"{salt}|" if salt else ""
-    h = F.substring(
-        F.md5(F.concat(F.lit(prefix), F.col(key_col).cast("string"))), 1, 8
-    )
+    # NULL keys hash a sentinel instead of propagating NULL through
+    # md5 (a NULL predicate silently drops the row from EVERY sample,
+    # even rate=1.0); all NULL-key rows share one deterministic
+    # verdict per (salt, rate)
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00<null-key>"))
+    h = F.substring(F.md5(F.concat(F.lit(prefix), key_str)), 1, 8)
     if rate is not None:
         keep = h < F.lit(_hash_threshold(rate))
     else:

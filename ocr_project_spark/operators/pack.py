@@ -89,17 +89,38 @@ def pack_sequences(
     )
 
     def kernel(batches):
-        import pandas as pd
+        import numpy as np
 
-        frames = [pdf for pdf in batches if len(pdf)]
-        if not frames:
-            return
-        df = pd.concat(frames, ignore_index=True)
-        # sortWithinPartitions ordered rows; batches preserve order
-        packs = _pack_bounds(df["n_tokens"].to_numpy(), budget)
-        part = int(df["_p"].iloc[0])
-        df["pack_id"] = [f"{part}-{p}" for p in packs]
-        yield df[["doc_id", "n_tokens", "pack_id"]]
+        # STREAMING: each Arrow batch is packed and yielded as it
+        # arrives; the open pack carries across batches as scalar
+        # state (pack id offset, accumulated tokens, member count), so
+        # memory stays one batch regardless of partition size.  The
+        # carry is replayed by prepending one VIRTUAL element of size
+        # acc to the batch's counts: greedy decisions depend only on
+        # the open pack's total and non-emptiness, so the packing is
+        # identical to running _pack_bounds over the whole partition.
+        pack_off = 0  # id of the open pack
+        acc = 0       # tokens already in the open pack
+        n_in = 0      # members already in the open pack
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = pdf["n_tokens"].to_numpy()
+            if n_in > 0:
+                labels = _pack_bounds(
+                    np.concatenate(([acc], counts)), budget
+                )[1:]
+            else:
+                labels = _pack_bounds(counts, budget)
+            part = int(pdf["_p"].iloc[0])
+            out = pdf[["doc_id", "n_tokens"]].copy()
+            out["pack_id"] = [f"{part}-{pack_off + p}" for p in labels]
+            last = int(labels[-1])
+            in_last = counts[labels == last]
+            acc = int(in_last.sum()) + (acc if (last == 0 and n_in > 0) else 0)
+            n_in = len(in_last) + (n_in if (last == 0 and n_in > 0) else 0)
+            pack_off += last
+            yield out
 
     from pyspark.sql.types import StringType, StructField, StructType
 

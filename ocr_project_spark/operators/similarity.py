@@ -269,12 +269,20 @@ def embedding_dedup_incremental(
     )
     reps = reps.select("id", F.col("sig").alias("v"))
     bn = _hyperplane_banded(reps, planes, bands, "id", "v")
+    # IDENTICAL vectors verify as duplicates unconditionally: the
+    # in-batch collapse already treats equal vectors as dups (star
+    # edges), so the pairwise/store verification must agree or the
+    # all-zero vector (cosine defined 0 here) would collapse in-batch
+    # yet re-admit against an identical stored copy every batch
+    def _dup(av, bv):
+        return (cosine_expr(av, bv) >= F.lit(threshold)) | (av == bv)
+
     if store is not None:
         bs = _hyperplane_banded(store, planes, bands, "id", "v")
         store_hits = (
             bn.alias("a")
             .join(bs.alias("b"), ["band", "bb"])
-            .where(cosine_expr(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
+            .where(_dup(F.col("a.v"), F.col("b.v")))
             .select(F.col("a.id").alias("id"))
             .distinct()
         )
@@ -284,7 +292,7 @@ def embedding_dedup_incremental(
     rep_pairs = (
         a.join(b, ["band", "bb"])
         .where(F.col("a.id") < F.col("b.id"))
-        .where(cosine_expr(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
+        .where(_dup(F.col("a.v"), F.col("b.v")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
@@ -440,18 +448,18 @@ def knn_join_lsh(
     )
     qb = _hyperplane_banded(qn, planes, bands, "id", "v").alias("q")
     cb = _hyperplane_banded(cn, planes, bands, "id", "v").alias("c")
-    cand = (
+    # score BEFORE deduplicating: a pair sharing j bands is scored j
+    # times map-side (j <= bands, identical results), but the
+    # dropDuplicates shuffle then carries three scalars per candidate
+    # instead of two full embedding vectors
+    scored = (
         qb.join(cb, (F.col("q.band") == F.col("c.band")) & (F.col("q.bb") == F.col("c.bb")))
         .select(
             F.col("q.id").alias("qid"),
             F.col("c.id").alias("id"),
-            F.col("q.v").alias("qv"),
-            F.col("c.v").alias("v"),
+            cosine_expr(F.col("q.v"), F.col("c.v")).alias("cosine"),
         )
         .dropDuplicates(["qid", "id"])
-    )
-    scored = cand.select(
-        "qid", "id", cosine_expr(F.col("qv"), F.col("v")).alias("cosine")
     )
     return _topk_per_query(scored, k)
 

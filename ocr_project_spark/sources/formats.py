@@ -117,8 +117,11 @@ def read_documents_avro(spark: SparkSession, path: str) -> DataFrame:
     Spark's generic failed-to-find-data-source."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # AnalysisException without the jar
-        if "avro" in str(e).lower():
+    except Exception as e:
+        # only translate the missing-module failure: a path or parse
+        # error with the jar installed must surface as itself
+        msg = str(e)
+        if "Failed to find data source" in msg or "DATA_SOURCE_NOT_FOUND" in msg:
             raise NotImplementedError(
                 "spark-avro module not on the classpath; submit with "
                 "--packages org.apache.spark:spark-avro_2.13:<spark-version>"

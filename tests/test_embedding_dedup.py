@@ -149,3 +149,22 @@ def test_bad_store_policy_raises(spark):
     df = spark.createDataFrame([(1, _vec(0))], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         embedding_dedup_incremental(df, None, store_policy="sometimes")
+
+
+def test_zero_vector_duplicates_rejected_across_batches(spark):
+    """Identical all-zero vectors (cosine defined 0) must behave like
+    every other identical vector: collapse in-batch AND reject against
+    an identical stored copy — the store check short-circuits on
+    vector equality, not only on cosine >= threshold."""
+    z = [0.0, 0.0, 0.0, 0.0]
+    b1 = spark.createDataFrame([(1, z)], "vec_id long, embedding array<double>")
+    adm1, store = embedding_dedup_incremental(b1, None, threshold=0.9, planes=PLANES)
+    assert {r["id"] for r in adm1.collect()} == {1}
+    b2 = spark.createDataFrame(
+        [(2, z), (3, z)], "vec_id long, embedding array<double>"
+    )
+    adm2, store2 = embedding_dedup_incremental(
+        b2, store, threshold=0.9, planes=PLANES
+    )
+    assert adm2.count() == 0        # both are exact dups of the stored copy
+    assert store2.count() == 1      # store does not accumulate zero copies

@@ -12,16 +12,20 @@ from ocr_project_spark.operators.pack import _pack_bounds, pack_sequences
 
 
 def _greedy_reference(counts, budget):
-    out, pack, acc = [], 0, 0
+    """Two-field state machine: a doc opens a new pack iff the open
+    pack has >= 1 member and would overflow.  The guard is on MEMBER
+    COUNT, not acc > 0: a zero-token doc still occupies the pack, and
+    an oversized doc following it must not join (kernel + SQL oracle
+    agree — a pack is a maximal range with sum <= budget)."""
+    out, pack, acc, n_in = [], 0, 0, 0
     for c in counts:
-        if acc and acc + c > budget:
+        if n_in > 0 and acc + c > budget:
             pack += 1
             acc = 0
+            n_in = 0
         acc += c
+        n_in += 1
         out.append(pack)
-        if c > budget:  # oversized doc closed its own pack
-            pack += 1
-            acc = 0
     return out
 
 
@@ -35,6 +39,10 @@ def _greedy_reference(counts, budget):
         [1] * 37,
         [],
         [10, 10, 10],        # exact fits
+        [0, 25, 1],          # oversized after a zero-token doc
+        [25, 0],             # zero-token doc after an oversized one
+        [0, 0, 0],           # all-empty docs share one pack
+        [5, 0, 25, 0, 5],    # zeros interleaved
     ],
 )
 def test_pack_bounds_matches_greedy_reference(counts):
@@ -106,3 +114,46 @@ def test_pack_sequences_precomputed_tokens_and_errors(spark):
     assert packs[1] == packs[2] != packs[3]
     with pytest.raises(ValueError):
         pack_sequences(docs, budget=0, tokens_col="ntok")
+
+
+def test_pack_streaming_state_carries_across_arrow_batches(spark):
+    """Multiple Arrow batches per partition must produce the identical
+    packing as one batch — the carried (pack, acc, members) state is
+    exact, including an open pack straddling a batch boundary."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    docs = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(100)], "doc_id long, ntok long"
+    ).coalesce(1)
+    try:
+        spark.conf.set(key, "7")
+        chunked = {
+            r["doc_id"]: r["pack_id"]
+            for r in pack_sequences(docs, budget=20, tokens_col="ntok").collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    whole = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(docs, budget=20, tokens_col="ntok").collect()
+    }
+    assert chunked == whole
+    import numpy as np
+
+    counts = np.array([(i * 7) % 13 for i in range(100)], dtype=np.int64)
+    want = {i: f"0-{p}" for i, p in enumerate(_pack_bounds(counts, 20))}
+    assert whole == want
+
+
+def test_hash_sample_null_keys_keep_deterministic_verdict(spark):
+    """NULL keys must not vanish from every sample: they hash a
+    sentinel, so rate=1.0 keeps them and the verdict is stable."""
+    from ocr_project_spark.operators.curate import hash_sample
+
+    docs = spark.createDataFrame(
+        [(1,), (None,), (None,)], "doc_id long"
+    )
+    assert hash_sample(docs, rate=1.0).count() == 3
+    assert hash_sample(docs, rate=0.0).count() == 0
+    a = hash_sample(docs, rate=0.5).count()
+    assert a == hash_sample(docs, rate=0.5).count()
