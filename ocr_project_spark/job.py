@@ -94,6 +94,15 @@ def build_parser(cfg=None) -> argparse.ArgumentParser:
                         "`languages` lists in the engines config; "
                         "conservative — unknown languages and "
                         "unconstrained engines pass through)")
+    p.add_argument("--sample-rate", type=float,
+                   default=c("extract.sample_rate", None),
+                   help="deterministic doc_id hash sample of the corpus "
+                        "before extraction (operators/curate.hash_sample: "
+                        "reproducible across runs/cluster sizes, a narrow "
+                        "scan filter)")
+    p.add_argument("--sample-salt", default=c("extract.sample_salt", ""),
+                   help="salt for --sample-rate; different salts draw "
+                        "independent samples")
     return p
 
 
@@ -143,6 +152,10 @@ def main(argv: list[str] | None = None) -> int:
             "--lang-filter requires a candidates input (it gates which "
             "engine candidates reach fusion)"
         )
+    if args.sample_rate is not None and not (0.0 < args.sample_rate <= 1.0):
+        build_parser().error(
+            f"--sample-rate must be in (0, 1], got {args.sample_rate}"
+        )
 
     from pyspark.sql import functions as F
 
@@ -185,6 +198,18 @@ def main(argv: list[str] | None = None) -> int:
         par = args.parallelism or 2 * spark.sparkContext.defaultParallelism
         docs = partitioning.repartition_for_extract(
             docs, par, threshold=args.mega_span_threshold
+        )
+
+    if args.sample_rate is not None:
+        # deterministic corpus sample BEFORE any expensive stage: a
+        # pure per-row hash filter (batch-invariant, so it composes
+        # with checkpointed mode), pushed to the document scan;
+        # candidates of dropped docs never match the fusion join
+        from ocr_project_spark.operators.curate import hash_sample
+
+        docs = hash_sample(
+            docs, rate=args.sample_rate, key_col="doc_id",
+            salt=args.sample_salt,
         )
 
     from ocr_project_spark.functions.fuse import disabled_engines
@@ -271,7 +296,13 @@ def main(argv: list[str] | None = None) -> int:
             lang_filter_cfg=(
                 cfg if (args.lang_filter and cands is not None) else None
             ),
-            extra_pins={"disabled_engines": sorted(_disabled)},
+            extra_pins={
+                "disabled_engines": sorted(_disabled),
+                # a resumed run with a different sample would silently
+                # mix corpora across buckets — pin it like normalize
+                "sample_rate": args.sample_rate,
+                "sample_salt": args.sample_salt,
+            },
         )
         row = out.agg(
             F.count(F.lit(1)).alias("docs"),

@@ -111,6 +111,55 @@ def test_spark_submit_bucketed_mode(spark, tmp_path):
     assert summary["docs"] == 40
 
 
+def test_job_sample_rate_checkpointed(spark, corpus_dfs, tmp_path):
+    """--sample-rate flows through the checkpointed path: the output
+    holds exactly the hash_sample keeper set (deterministic, so the
+    in-test expectation is exact, not statistical) and the manifest
+    pins the sampling semantics."""
+    sys.path.insert(0, ROOT)
+    from ocr_project_spark.operators.curate import hash_sample
+
+    docs_df, cands_df = corpus_dfs
+    docs50 = docs_df.limit(50).cache()
+    pq = str(tmp_path / "docs_pq")
+    cq = str(tmp_path / "cands_pq")
+    docs50.write.mode("overwrite").parquet(pq)
+    cands_df.join(docs50.select("doc_id"), "doc_id").write.mode(
+        "overwrite"
+    ).parquet(cq)
+    expect = {
+        r["doc_id"]
+        for r in hash_sample(
+            spark.read.parquet(pq), rate=0.5, salt="smoke"
+        ).select("doc_id").collect()
+    }
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ, PYTHONPATH=ROOT)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "ocr_project_spark", "job.py"),
+         "--input", pq, "--candidates", cq,
+         "--output", out_dir, "--run-id", "sample-smoke",
+         "--buckets", "4", "--bucket-batch-size", "4",
+         "--sample-rate", "0.5", "--sample-salt", "smoke",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out_dir}/extracted")
+        .select("doc_id").collect()
+    }
+    assert got == expect
+    meta = json.loads(
+        open(f"{out_dir}/_run_meta/sample-smoke.json").read()
+    )
+    blob = json.dumps(meta)
+    assert '"sample_rate": 0.5' in blob and '"sample_salt": "smoke"' in blob
+
+
 def test_parser_exposes_retry_flags():
     sys.path.insert(0, ROOT)
     from ocr_project_spark.config import load_config
@@ -293,7 +342,29 @@ def test_job_flag_combos_fail_fast():
         # --lang-filter without any candidates input
         ["--input", "/tmp/i", "--output", "/tmp/o", "--run-id", "r",
          "--lang-filter"],
+        # --sample-rate outside (0, 1]
+        ["--input", "/tmp/i", "--output", "/tmp/o", "--run-id", "r",
+         "--sample-rate", "0.0"],
+        ["--input", "/tmp/i", "--output", "/tmp/o", "--run-id", "r",
+         "--sample-rate", "1.5"],
     ]
     for argv in cases:
         with pytest.raises(SystemExit):
             main(argv)
+
+
+def test_parser_exposes_sample_flags():
+    sys.path.insert(0, ROOT)
+    from ocr_project_spark.job import build_parser
+
+    args = build_parser().parse_args(
+        ["--input", "/tmp/i", "--output", "/tmp/o", "--run-id", "r",
+         "--sample-rate", "0.25", "--sample-salt", "train"]
+    )
+    assert args.sample_rate == 0.25
+    assert args.sample_salt == "train"
+    # default: no sampling
+    args = build_parser().parse_args(
+        ["--input", "/tmp/i", "--output", "/tmp/o", "--run-id", "r"]
+    )
+    assert args.sample_rate is None
