@@ -299,9 +299,13 @@ def main(argv: list[str] | None = None) -> int:
             extra_pins={
                 "disabled_engines": sorted(_disabled),
                 # a resumed run with a different sample would silently
-                # mix corpora across buckets — pin it like normalize
+                # mix corpora across buckets — pin it like normalize;
+                # the salt only matters while sampling is on (same
+                # normalization as retry_threshold vs has_retry)
                 "sample_rate": args.sample_rate,
-                "sample_salt": args.sample_salt,
+                "sample_salt": (
+                    args.sample_salt if args.sample_rate is not None else None
+                ),
             },
         )
         row = out.agg(

@@ -287,6 +287,14 @@ def hash_sample(
     keeps per-stratum rates (strata absent from ``rates`` fall back to
     ``default_rate`` — 0.0, drop, by default: an UNKNOWN stratum in a
     rate table should be an explicit decision, not a silent keep).
+
+    NULL keys hash a sentinel so they receive one deterministic
+    verdict per (salt, rate) instead of vanishing from every sample
+    via NULL predicate propagation.  That is the one spot where a
+    naive SQL mirror (``md5(salt || '|' || key)``) diverges: plain
+    string concatenation NULL-propagates and drops such rows — a
+    portable oracle must COALESCE the key the same way (the driver
+    tables carry no NULL keys, so the shipped oracle skips it).
     """
     if (rate is None) == (rates is None):
         raise ValueError("pass exactly one of rate= or rates=")

@@ -269,20 +269,22 @@ def embedding_dedup_incremental(
     )
     reps = reps.select("id", F.col("sig").alias("v"))
     bn = _hyperplane_banded(reps, planes, bands, "id", "v")
-    # IDENTICAL vectors verify as duplicates unconditionally: the
-    # in-batch collapse already treats equal vectors as dups (star
-    # edges), so the pairwise/store verification must agree or the
-    # all-zero vector (cosine defined 0 here) would collapse in-batch
-    # yet re-admit against an identical stored copy every batch
-    def _dup(av, bv):
-        return (cosine_expr(av, bv) >= F.lit(threshold)) | (av == bv)
-
     if store is not None:
+        # IDENTICAL vectors verify as store duplicates unconditionally:
+        # the in-batch collapse treats equal vectors as dups (star
+        # edges), so the store check must agree or the all-zero vector
+        # (cosine defined 0 here) would collapse in-batch yet re-admit
+        # against an identical stored copy every batch.  The in-batch
+        # rep_pairs join below needs no such arm: reps are one row per
+        # DISTINCT vector, so two reps are never equal.
         bs = _hyperplane_banded(store, planes, bands, "id", "v")
         store_hits = (
             bn.alias("a")
             .join(bs.alias("b"), ["band", "bb"])
-            .where(_dup(F.col("a.v"), F.col("b.v")))
+            .where(
+                (cosine_expr(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
+                | (F.col("a.v") == F.col("b.v"))
+            )
             .select(F.col("a.id").alias("id"))
             .distinct()
         )
@@ -292,7 +294,7 @@ def embedding_dedup_incremental(
     rep_pairs = (
         a.join(b, ["band", "bb"])
         .where(F.col("a.id") < F.col("b.id"))
-        .where(_dup(F.col("a.v"), F.col("b.v")))
+        .where(cosine_expr(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

@@ -84,7 +84,11 @@ def _check_run_config(
     The stored pin is compared key-by-key over ITS OWN keys, so runs
     started by an older build (fewer pinned switches) still resume
     under a newer one — new switches are only enforced for runs that
-    recorded them.
+    recorded them.  One addition to that rule: a switch that is
+    ACTIVE now (truthy pin value) but absent from the stored pin also
+    refuses — the old run demonstrably ran without the feature, so
+    resuming with it on would mix semantics exactly like recorded
+    drift would (e.g. --sample-rate against a pre-sampling manifest).
 
     Local-filesystem JSON here; a real deployment stores this in the
     Iceberg table properties / snapshot summary.
@@ -115,6 +119,11 @@ def _check_run_config(
                 for k in stored
                 if stored[k] != fusion.get(k)
             }
+            # a feature active NOW but never recorded by the stored run
+            # is drift too: the committed buckets ran without it
+            drift.update(
+                {k: (None, v) for k, v in fusion.items() if k not in stored and v}
+            )
             if drift:
                 raise CheckpointConflictError(
                     f"run {run_id!r} at {out_dir!r} was started with fusion "

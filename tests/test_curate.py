@@ -275,3 +275,17 @@ def test_hash_sample_filter_reaches_scan(spark, tmp_path):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "Filter" in plan and "md5" in plan
+
+
+def test_hash_sample_null_keys_keep_deterministic_verdict(spark):
+    """NULL keys must not vanish from every sample: they hash a
+    sentinel, so rate=1.0 keeps them and the verdict is stable."""
+    from ocr_project_spark.operators.curate import hash_sample
+
+    docs = spark.createDataFrame(
+        [(1,), (None,), (None,)], "doc_id long"
+    )
+    assert hash_sample(docs, rate=1.0).count() == 3
+    assert hash_sample(docs, rate=0.0).count() == 0
+    a = hash_sample(docs, rate=0.5).count()
+    assert a == hash_sample(docs, rate=0.5).count()

@@ -143,17 +143,3 @@ def test_pack_streaming_state_carries_across_arrow_batches(spark):
     counts = np.array([(i * 7) % 13 for i in range(100)], dtype=np.int64)
     want = {i: f"0-{p}" for i, p in enumerate(_pack_bounds(counts, 20))}
     assert whole == want
-
-
-def test_hash_sample_null_keys_keep_deterministic_verdict(spark):
-    """NULL keys must not vanish from every sample: they hash a
-    sentinel, so rate=1.0 keeps them and the verdict is stable."""
-    from ocr_project_spark.operators.curate import hash_sample
-
-    docs = spark.createDataFrame(
-        [(1,), (None,), (None,)], "doc_id long"
-    )
-    assert hash_sample(docs, rate=1.0).count() == 3
-    assert hash_sample(docs, rate=0.0).count() == 0
-    a = hash_sample(docs, rate=0.5).count()
-    assert a == hash_sample(docs, rate=0.5).count()

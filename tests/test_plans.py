@@ -377,6 +377,21 @@ def test_checkpoint_old_manifest_still_resumes(tmp_path):
             "has_retry": True, "retry_threshold": 0.3,
             "normalize": None, "lang_filter": False,
         })
+    # a switch ACTIVE now but absent from the stored pin refuses too:
+    # the committed buckets demonstrably ran without the feature
+    with pytest.raises(CheckpointConflictError, match="sample_rate"):
+        _check_run_config(out_dir, "r1", 4, semantics={
+            "has_retry": False, "retry_threshold": None,
+            "normalize": None, "lang_filter": False,
+            "sample_rate": 0.5, "sample_salt": "s",
+        })
+    # ...while inactive (falsy) new switches stay forward-compatible
+    _check_run_config(out_dir, "r1", 4, semantics={
+        "has_retry": False, "retry_threshold": None,
+        "normalize": None, "lang_filter": False,
+        "sample_rate": None, "sample_salt": None,
+        "disabled_engines": [],
+    })
 
 
 def test_checkpoint_lang_filter_matches_upstream(spark, corpus_dfs, tmp_path):
