@@ -1828,6 +1828,47 @@ WHERE substring(md5('r3|' || CAST(doc_id AS VARCHAR)), 1, 8)
 
 
 # --------------------------------------------------------------------
+# 32f. Intra-document repetition metrics (operators/curate.py): the
+#      Gopher-rule repetition signal over word bigrams — per doc the
+#      n-gram slot counts plus dup/top fractions (rounded 3 on both
+#      engines).
+# --------------------------------------------------------------------
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import repetition_stats
+
+    return repetition_stats(T(spark, sf_dir, "documents"), n=2)
+
+
+_SQL_REPETITION = """
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+     g AS (SELECT doc_id,
+                  unnest(CASE WHEN len(toks) >= 2 THEN
+                    list_transform(generate_series(0, len(toks)-2),
+                      i -> array_to_string(list_slice(toks, i+1, i+2), ' '))
+                  ELSE [] END) AS g
+           FROM d),
+     per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+     s AS (SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS n_grams,
+                  CAST(count(*) AS BIGINT) AS distinct_grams,
+                  CAST(max(c) AS BIGINT) AS top_gram_n
+           FROM per GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(distinct_grams, 0) AS distinct_grams,
+       COALESCE(top_gram_n, 0) AS top_gram_n,
+       round(CASE WHEN COALESCE(n_grams, 0) > 0
+                  THEN (n_grams - distinct_grams) * 1.0 / n_grams
+                  ELSE 0.0 END, 3) AS dup_gram_frac,
+       round(CASE WHEN COALESCE(n_grams, 0) > 0
+                  THEN top_gram_n * 1.0 / n_grams
+                  ELSE 0.0 END, 3) AS top_gram_frac
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN s USING (doc_id)
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
+# --------------------------------------------------------------------
 # 32e. Benchmark decontamination (operators/curate.py): distinct
 #      3-gram overlap between each corpus document and a held-out
 #      pseudo-benchmark slice (doc_id >= 480), contaminated when >= 5
@@ -2539,6 +2580,7 @@ SPARK_QUERIES = {
     "decontaminate": q_decontaminate,
     "hash_sample": q_hash_sample,
     "pack_sequences": q_pack_sequences,
+    "repetition_stats": q_repetition_stats,
     "curate_corpus": q_curate_corpus,
     "retry_routing": q_retry_routing,
     "engine_lang_filter": q_engine_lang_filter,
@@ -2565,7 +2607,6 @@ SPARK_QUERIES = {
     "envelope": q_envelope,
     "region_revenue": q_region_revenue,
     "left_join_fallback": q_left_join_fallback,
-    "jaccard_adjacent": q_jaccard_adjacent,
     "exact_dedup": q_exact_dedup,
     "dedup_then_extract": q_dedup_then_extract,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2593,6 +2634,7 @@ ORACLE_SQL = {
     "decontaminate": _SQL_DECONTAMINATE,
     "hash_sample": _SQL_HASH_SAMPLE,
     "pack_sequences": _SQL_PACK,
+    "repetition_stats": _SQL_REPETITION,
     "curate_corpus": _SQL_CURATE,
     "retry_routing": _SQL_RETRY,
     "engine_lang_filter": _SQL_ENGINE_LANG,
@@ -2618,7 +2660,6 @@ ORACLE_SQL = {
     "envelope": _SQL_ENVELOPE,
     "region_revenue": _SQL_REGION_REVENUE,
     "left_join_fallback": _SQL_LEFT_JOIN,
-    "jaccard_adjacent": _SQL_JACCARD_ADJ,
     "exact_dedup": _SQL_EXACT_DEDUP,
     "dedup_then_extract": _SQL_DEDUP_EXTRACT,
     "minhash_lsh_pairs": _SQL_MINHASH,
@@ -2660,6 +2701,9 @@ LOCAL_QUERIES = {
     # folded: the C1-C6 ladder family keeps bucket_ladder,
     # quality_scores AND normalize_text driver-checked
     "boost_ladder": q_boost_ladder,
+    # folded: U1's adjacent-pair Jaccard demo — the jaccard_sets
+    # primitive also rides in the driver-checked consensus fusion
+    "jaccard_adjacent": q_jaccard_adjacent,
     "extract_chunked_spans": q_extract_chunked_spans,
     "extract_pandas_spans": q_extract_pandas_spans,
     "gap_class": q_gap_class,
@@ -2682,6 +2726,7 @@ LOCAL_ORACLE_SQL = {
     "near_dup_pairs": _SQL_NEAR_DUP,
     "union_slices": _SQL_UNION,
     "boost_ladder": _SQL_BOOST,
+    "jaccard_adjacent": _SQL_JACCARD_ADJ,
     "extract_chunked_spans": _SQL_EXTRACT_CHUNKED,
     "extract_pandas_spans": _SQL_EXTRACT_CHUNKED,
     "gap_class": _SQL_GAP_CLASS,

@@ -318,3 +318,82 @@ def hash_sample(
         fallback = h < F.lit(_hash_threshold(default_rate))
         keep = fallback if expr is None else expr.otherwise(fallback)
     return df.where(keep)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repetition metrics over word n-grams — the
+    Gopher-rule repetition signal (a doc dominated by a few repeated
+    n-grams is boilerplate/spam-like and gets culled before training):
+
+      (doc_id, n_grams, distinct_grams, top_gram_n,
+       dup_gram_frac, top_gram_frac)
+
+    ``dup_gram_frac`` is the fraction of n-gram slots occupied by
+    repeats of an already-seen gram ((n_grams - distinct) / n_grams);
+    ``top_gram_frac`` the slots taken by the single most frequent
+    gram.  Fractions round to 3 decimals (oracle float portability);
+    documents with fewer than ``n`` tokens keep a row of zeros.
+
+    Shape: tokenize ONCE in a projection (HOF lambdas re-evaluate
+    inline subexpressions per element), explode n-grams (narrow),
+    count per (doc, gram), aggregate per doc — two shuffles on
+    (doc_id, gram) then doc_id, both key-balanced.
+    """
+    from ocr_project_spark.functions.text import word_tokens
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t")
+    )
+    grams = F.when(
+        F.size(F.col("_t")) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_t")) - n),
+            lambda i: F.array_join(F.slice(F.col("_t"), i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # explode_outer + isNotNull (not plain explode): the optimizer
+    # would infer size>0 and duplicate the gram transform into a
+    # scan-level Filter
+    g = (
+        t.select("doc_id", F.explode_outer(grams).alias("g"))
+        .where(F.col("g").isNotNull())
+    )
+    per = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    stats = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.max("c").alias("top_gram_n"),
+    )
+    ng = F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams")
+    dg = F.coalesce(F.col("distinct_grams"), F.lit(0)).alias("distinct_grams")
+    tg = F.coalesce(F.col("top_gram_n"), F.lit(0)).alias("top_gram_n")
+    safe = F.coalesce(F.col("n_grams"), F.lit(0)) > 0
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            ng,
+            dg,
+            tg,
+            F.round(
+                F.when(
+                    safe,
+                    (F.col("n_grams") - F.col("distinct_grams"))
+                    / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                3,
+            ).alias("dup_gram_frac"),
+            F.round(
+                F.when(safe, F.col("top_gram_n") / F.col("n_grams")).otherwise(
+                    F.lit(0.0)
+                ),
+                3,
+            ).alias("top_gram_frac"),
+        )
+    )

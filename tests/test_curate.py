@@ -289,3 +289,57 @@ def test_hash_sample_null_keys_keep_deterministic_verdict(spark):
     assert hash_sample(docs, rate=0.0).count() == 0
     a = hash_sample(docs, rate=0.5).count()
     assert a == hash_sample(docs, rate=0.5).count()
+
+
+def test_repetition_stats_python_reference(spark):
+    from collections import Counter
+
+    from ocr_project_spark.operators.curate import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),            # one dominant bigram
+            (2, "w x y z"),                # all distinct
+            (3, None),                      # null text -> zeros
+            (4, "solo"),                    # < n tokens -> zeros
+            (5, "p q p q r r r"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def ref(t):
+        toks = [w for w in __import__("re").split(r"[^a-z0-9]+", (t or "").lower()) if w]
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        if not grams:
+            return (0, 0, 0, 0.0, 0.0)
+        c = Counter(grams)
+        ng, dg, tg = len(grams), len(c), max(c.values())
+        return (ng, dg, tg, round((ng - dg) / ng, 3), round(tg / ng, 3))
+
+    want = {r["doc_id"]: ref(r["text"]) for r in docs.collect()}
+    got = {
+        r["doc_id"]: (
+            r["n_grams"], r["distinct_grams"], r["top_gram_n"],
+            r["dup_gram_frac"], r["top_gram_frac"],
+        )
+        for r in repetition_stats(docs, n=2).collect()
+    }
+    assert got == want
+    # spot-check the dominant-bigram doc: 5 slots, 2 distinct, top 3
+    assert got[1] == (5, 2, 3, 0.6, 0.6)
+
+
+def test_repetition_stats_trigram_and_conservation(spark):
+    from ocr_project_spark.operators.curate import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = repetition_stats(docs, n=3)
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    for r in rows:
+        assert 0.0 <= r["dup_gram_frac"] <= 1.0
+        assert 0.0 <= r["top_gram_frac"] <= 1.0
+        assert r["distinct_grams"] <= r["n_grams"]
+        assert r["top_gram_n"] <= r["n_grams"]

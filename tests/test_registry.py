@@ -35,7 +35,7 @@ def test_entry_module_exposes_driver_contract():
     assert set(qs) == set(harness.SPARK_QUERIES)
     assert set(osql) == set(harness.ORACLE_SQL)
     # ordering is the sampling contract: never-checked/new entries first
-    assert list(qs)[:5] == [
+    assert list(qs)[:6] == [
         "knn_join", "decontaminate", "hash_sample", "pack_sequences",
-        "curate_corpus",
+        "repetition_stats", "curate_corpus",
     ]
