@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash64_pairs",
     "knn_join",
+    "decontaminate",
+    "hash_sample",
+    "repetition_stats",
+    "pack_sequences",
     "quality_scores",
     "error_rows",
 ]

@@ -1831,7 +1831,9 @@ WHERE substring(md5('r3|' || CAST(doc_id AS VARCHAR)), 1, 8)
 # 32f. Intra-document repetition metrics (operators/curate.py): the
 #      Gopher-rule repetition signal over word bigrams — per doc the
 #      n-gram slot counts plus dup/top fractions (rounded 3 on both
-#      engines).
+#      engines).  The decontaminate query below keeps the BENCHMARK as
+#      the fixed small slice (doc_id < 20) and the corpus as the side
+#      that grows with sf — the broadcast-benchmark scale shape.
 # --------------------------------------------------------------------
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.operators.curate import repetition_stats
@@ -1871,19 +1873,20 @@ LEFT JOIN s USING (doc_id)
 # --------------------------------------------------------------------
 # 32e. Benchmark decontamination (operators/curate.py): distinct
 #      3-gram overlap between each corpus document and a held-out
-#      pseudo-benchmark slice (doc_id >= 480), contaminated when >= 5
-#      shingles hit.  min_hits=5 sits inside the measured sf0.01 hit
-#      range (median 1, max 29) so both flag values appear.
+#      pseudo-benchmark slice (doc_id < 20 — FIXED small side, so the
+#      corpus is what grows with sf: the broadcast-benchmark scale
+#      shape), contaminated when >= 2 shingles hit (measured sf0.01
+#      split: 265 true / 215 false, so both flag values appear).
 # --------------------------------------------------------------------
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.operators.curate import decontaminate
 
     d = T(spark, sf_dir, "documents")
     return decontaminate(
-        d.where(F.col("doc_id") < 480),
-        d.where(F.col("doc_id") >= 480),
+        d.where(F.col("doc_id") >= 20),
+        d.where(F.col("doc_id") < 20),
         n=3,
-        min_hits=5,
+        min_hits=2,
     )
 
 
@@ -1895,8 +1898,8 @@ _SQL_SHINGLES3 = (
 )
 
 _SQL_DECONTAMINATE = """
-WITH d AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 480),
-     bt AS (SELECT {toks} AS toks FROM documents WHERE doc_id >= 480),
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id >= 20),
+     bt AS (SELECT {toks} AS toks FROM documents WHERE doc_id < 20),
      ds AS (SELECT doc_id, unnest({sh_d}) AS s FROM d),
      bs AS (SELECT DISTINCT unnest({sh_b}) AS s FROM bt),
      h AS (SELECT doc_id, count(*) AS bench_hits
@@ -1905,8 +1908,8 @@ WITH d AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 480),
            GROUP BY doc_id)
 SELECT d.doc_id,
        COALESCE(h.bench_hits, 0) AS bench_hits,
-       COALESCE(h.bench_hits, 0) >= 5 AS contaminated
-FROM (SELECT doc_id FROM documents WHERE doc_id < 480) d
+       COALESCE(h.bench_hits, 0) >= 2 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
 LEFT JOIN h USING (doc_id)
 """.format(
     toks=_WORD_TOKS.format(c="text"),

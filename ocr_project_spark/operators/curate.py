@@ -210,21 +210,29 @@ def decontaminate(
     degenerate '' shingle is filtered, so an empty doc never matches
     an empty benchmark line).
     """
-    from ocr_project_spark.operators.dedup import shingles
+    from ocr_project_spark.functions.text import word_tokens
+    from ocr_project_spark.operators.dedup import shingles_from_tokens
 
+    # tokenize ONCE in a projection (an inline word_tokens inside the
+    # shingle transform re-runs per element: O(tokens^2)/doc), then
     # explode_outer + isNotNull: a plain explode of the shingle
     # expression lets the optimizer infer size(..) > 0 and duplicate
     # the whole transform into a scan-level Filter
     sh = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode_outer(shingles(F.col(text_col), n)).alias("s"),
+            word_tokens(F.col(text_col)).alias("_t"),
+        )
+        .select(
+            "doc_id",
+            F.explode_outer(shingles_from_tokens(F.col("_t"), n)).alias("s"),
         )
         .where(F.col("s").isNotNull() & (F.col("s") != ""))
     )
     bsh = (
-        benchmark.select(
-            F.explode_outer(shingles(F.col(bench_text_col), n)).alias("s")
+        benchmark.select(word_tokens(F.col(bench_text_col)).alias("_t"))
+        .select(
+            F.explode_outer(shingles_from_tokens(F.col("_t"), n)).alias("s")
         )
         .where(F.col("s").isNotNull() & (F.col("s") != ""))
         .distinct()

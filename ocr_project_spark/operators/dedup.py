@@ -44,9 +44,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set."""
-    toks = word_tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set over a PRE-MATERIALIZED token array
+    column.  Callers should project the tokens first (HOF lambdas
+    re-evaluate inline subexpressions once per element, so an inline
+    word_tokens turns the transform O(tokens^2) per document)."""
     cnt = F.size(toks)
     return F.when(cnt >= n, F.array_distinct(
         F.transform(
@@ -54,6 +56,13 @@ def shingles(text: Column, n: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
     )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set straight from text — convenience Column
+    form; pipelines should materialize word_tokens in a projection and
+    use shingles_from_tokens (see its docstring for why)."""
+    return shingles_from_tokens(word_tokens(text), n)
 
 
 def jaccard_sets(a: Column, b: Column) -> Column:
