@@ -80,7 +80,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs n-gram Jaccard — exact but O(n^2); callers bound the
     input (it is the verification oracle for minhash_lsh_pairs)."""
-    s = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    s = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t")
+    ).select("id", shingles_from_tokens(F.col("_t"), n).alias("sh"))
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
