@@ -343,3 +343,26 @@ def test_repetition_stats_trigram_and_conservation(spark):
         assert 0.0 <= r["top_gram_frac"] <= 1.0
         assert r["distinct_grams"] <= r["n_grams"]
         assert r["top_gram_n"] <= r["n_grams"]
+
+
+def test_hash_threshold_properties():
+    """_hash_threshold is monotone in rate and lands in the hex-string
+    order it is compared under — pure python, hypothesis-fuzzed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_project_spark.operators.curate import _hash_threshold
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+           st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+    def check(a, b):
+        ta, tb = _hash_threshold(a), _hash_threshold(b)
+        if a <= b:
+            # 'g' sorts above every 8-hex string; equal-length hex
+            # compares numerically
+            assert ta <= tb or tb == "g"
+        if 0.0 < a < 1.0:
+            assert len(ta) == 8 and all(c in "0123456789abcdef" for c in ta)
+
+    check()

@@ -143,3 +143,26 @@ def test_pack_streaming_state_carries_across_arrow_batches(spark):
     counts = np.array([(i * 7) % 13 for i in range(100)], dtype=np.int64)
     want = {i: f"0-{p}" for i, p in enumerate(_pack_bounds(counts, 20))}
     assert whole == want
+
+
+def test_pack_bounds_property_fuzz():
+    """Hypothesis fuzz of the numpy pack-jump kernel against the
+    python greedy reference — pure driver-side, no Spark session."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=30), max_size=60),
+        st.integers(min_value=1, max_value=25),
+    )
+    def check(counts, budget):
+        got = list(_pack_bounds(np.array(counts, dtype=np.int64), budget))
+        assert got == _greedy_reference(counts, budget)
+        # invariants independent of the reference
+        if counts:
+            assert got[0] == 0
+            assert all(b - a in (0, 1) for a, b in zip(got, got[1:]))
+
+    check()
