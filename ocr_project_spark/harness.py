@@ -1741,6 +1741,53 @@ WHERE list_inner_product(a.v, b.v)
 
 
 # --------------------------------------------------------------------
+# 32g. SemDeDup (operators/similarity.py semdedup): cluster embeddings
+#      against a fixed codebook, drop vectors dominated by a smaller-id
+#      >=threshold neighbor WITHIN their cluster.  The oracle tier uses
+#      the first 4 vectors as the codebook (derived from the data on
+#      BOTH engines — the Spark side collects 4x64 floats, metadata
+#      scale); the k-means codebook tier is pytest-pinned
+#      (tests/test_semdedup.py).  threshold=0.35 sits 1.1e-4 from the
+#      nearest within-cluster cosine on this synthetic table, so both
+#      engines agree despite independent float summation.
+# --------------------------------------------------------------------
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    out = SIM.semdedup(emb, centroids=cents, threshold=0.35)
+    return out.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "keep"
+    )
+
+
+_SQL_SEMDEDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM e WHERE vec_id < 4),
+a AS (SELECT vec_id, v, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_inner_product(v, cv)
+                        / (sqrt(list_inner_product(v, v))
+                           * sqrt(list_inner_product(cv, cv))) DESC,
+                        cid ASC) AS rn
+      FROM e CROSS JOIN c),
+asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+dom AS (SELECT DISTINCT x.vec_id
+        FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id > y.vec_id
+        WHERE list_inner_product(x.v, y.v)
+              / (sqrt(list_inner_product(x.v, x.v))
+                 * sqrt(list_inner_product(y.v, y.v))) >= 0.35)
+SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cluster,
+       dom.vec_id IS NULL AS keep
+FROM asg LEFT JOIN dom USING (vec_id)
+"""
+
+
+# --------------------------------------------------------------------
 # 32b. Corpus curation composition (operators/curate.py): quality floor
 #      -> language allowlist -> exact dedup -> SimHash near-dup drop,
 #      one disposition + witness row per document.  The flagship
@@ -2719,6 +2766,7 @@ LOCAL_QUERIES = {
     "simhash_sigs": q_simhash_sigs,
     "simhash_pairs": q_simhash_pairs,
     "duplicate_passages": q_duplicate_passages,
+    "semdedup": q_semdedup,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -2742,4 +2790,5 @@ LOCAL_ORACLE_SQL = {
     "simhash_sigs": _SQL_SIMHASH_SIGS,
     "simhash_pairs": _SQL_SIMHASH_PAIRS,
     "duplicate_passages": _SQL_DUP_PASSAGES,
+    "semdedup": _SQL_SEMDEDUP,
 }

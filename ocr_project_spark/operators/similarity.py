@@ -528,3 +528,111 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def assign_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) assignment against a small FIXED
+    codebook of literal centroid vectors — a narrow, shuffle-free map:
+    the codebook is a plan literal (broadcast by construction), the
+    argmax is ``array_max`` over (cosine, -index) structs so exact-tie
+    resolution is deterministic (lowest index wins).
+
+    Adds ``cluster`` (int) and ``centroid_cos`` (double) columns.  The
+    all-zero vector has cosine 0 to every centroid (cosine_expr's
+    denom-0 convention) and deterministically lands in cluster 0.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    cands = [
+        F.struct(
+            cosine_expr(v, F.array(*[F.lit(float(x)) for x in c])).alias("cos"),
+            F.lit(-i).alias("neg_idx"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.array_max(F.array(*cands))
+    return df.withColumn("cluster", -best["neg_idx"]).withColumn(
+        "centroid_cos", best["cos"]
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping near-identical
+    vectors WITHIN each cluster — the pairwise cost is bounded per
+    cluster instead of corpus-wide, which is the entire scale trick.
+
+    Two codebook tiers:
+      * ``centroids`` given — fixed literal codebook, fully
+        deterministic and SQL-expressible (the oracle tier; the
+        harness derives the codebook from the first k vectors).
+      * ``centroids=None`` — k-means via ``ivf_build`` (Spark ML,
+        fixed seed): the production tier, sharing the IVF coarse
+        quantizer.
+
+    Keeper convention: a vector is DROPPED when a smaller-id vector in
+    the same cluster has cosine >= threshold (min-id keeper, matching
+    ``elect_keepers``/the incremental tiers; the paper instead keeps
+    the member farthest from the centroid — a policy knob, not a
+    structural difference).  Identical vectors collapse to min-id
+    representatives before the self-join (the hot-bucket guard every
+    dedup tier here carries), which is semantics-preserving: members
+    are dominated by their identical smaller-id representative by
+    construction.
+
+    100 TB shape: assignment is a narrow map (no shuffle); the
+    self-join shuffles by ``cluster`` once on each side.  Size the
+    codebook ~sqrt(N) per the paper so per-cluster candidate sets stay
+    bounded; persist/bucket the assigned table on ``cluster`` so
+    repeated passes co-locate for free, and let AQE split a skewed
+    mega-cluster.
+
+    Returns one row per input vector: (id_col, cluster, keep).
+    """
+    from ocr_project_spark.operators.dedup import _collapse_identical
+
+    if centroids is None:
+        _, centroids = ivf_build(
+            df, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    reps, member_edges = _collapse_identical(
+        vecs.select("id", F.col("v").alias("sig")), F.col("sig")
+    )
+    asg = assign_centroids(
+        reps.select("id", F.col("sig").alias("v")), centroids, vec_col="v"
+    ).select("id", "v", "cluster")
+    a, b = asg.alias("a"), asg.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .where(cosine_expr(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    rep_out = asg.join(
+        dominated.withColumn("_dom", F.lit(True)), "id", "left"
+    ).select("id", "cluster", F.col("_dom").isNull().alias("keep"))
+    member_out = (
+        member_edges.select(F.col("id_a").alias("id"), F.col("id_b").alias("_rep"))
+        .join(rep_out.select(F.col("id").alias("_rep"), "cluster"), "_rep")
+        .select("id", "cluster", F.lit(False).alias("keep"))
+    )
+    return rep_out.unionByName(member_out).withColumnRenamed("id", id_col)
