@@ -48,10 +48,25 @@ BENCH_QUERIES = [
 ]
 
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+# Reps for the four headline extraction pipelines.  3 is enough on a
+# quiet machine, but this VM's noisy-neighbor spikes were measured
+# (2026-08-17, tools/status_cost_bench.py) to hit 6-12x on SATURATED
+# runs and to cluster in multi-minute windows — 5 reps raises the odds
+# that min-over-reps catches one clean window for the headline number.
+PIPELINE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
 
 def _noop_sink(df):
     df.write.format("noop").mode("overwrite").save()
+
+
+def _best_of(reps: int, thunk) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        thunk()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def bench_corpus_path() -> str:
@@ -107,11 +122,8 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{corpus_dir}/documents_spans.parquet")
     cands = spark.read.parquet(f"{corpus_dir}/media_candidates.parquet")
-    dt = float("inf")
-    for _ in range(3):   # fused no-exchange plans JIT over two passes
-        t0 = time.perf_counter()
-        _noop_sink(extract(docs, cands))
-        dt = min(dt, time.perf_counter() - t0)
+    # fused no-exchange plans JIT over two passes -> min over PIPELINE_REPS
+    dt = _best_of(PIPELINE_REPS, lambda: _noop_sink(extract(docs, cands)))
     timings["extract_pipeline"] = round(dt, 3)
     docs_per_sec = round(N_BENCH_DOCS / dt, 1)
 
@@ -124,11 +136,7 @@ def main() -> None:
         write_bucketed(spark, docs, cands, bkt_root, n_buckets=2 * cpus)
         open(f"{bkt_root}/_DONE", "w").write("ok")
     docs_b, cands_b = read_bucketed(spark, bkt_root, n_buckets=2 * cpus)
-    dtb = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _noop_sink(extract(docs_b, cands_b))
-        dtb = min(dtb, time.perf_counter() - t0)
+    dtb = _best_of(PIPELINE_REPS, lambda: _noop_sink(extract(docs_b, cands_b)))
     timings["extract_pipeline_bucketed"] = round(dtb, 3)
     docs_per_sec_bucketed = round(N_BENCH_DOCS / dtb, 1)
 
@@ -140,22 +148,19 @@ def main() -> None:
     from ocr_project_spark.operators.extract_pandas import extract_pandas_engine
 
     _ensure_pyfiles(spark)
-    dtp = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _noop_sink(extract_pandas_engine(docs, cands, kernel="pandas"))
-        dtp = min(dtp, time.perf_counter() - t0)
+    dtp = _best_of(
+        PIPELINE_REPS,
+        lambda: _noop_sink(extract_pandas_engine(docs, cands, kernel="pandas")),
+    )
     timings["extract_pipeline_pandas_kernel"] = round(dtp, 3)
 
     # the zero-copy mapInArrow engine path: python kernel without the
     # Arrow->pandas nested-dict conversion tax
     from ocr_project_spark.operators.extract_arrow import extract_arrow_engine
 
-    dta = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _noop_sink(extract_arrow_engine(docs, cands))
-        dta = min(dta, time.perf_counter() - t0)
+    dta = _best_of(
+        PIPELINE_REPS, lambda: _noop_sink(extract_arrow_engine(docs, cands))
+    )
     timings["extract_pipeline_arrow_udf"] = round(dta, 3)
 
     total = round(sum(timings.values()), 3)
