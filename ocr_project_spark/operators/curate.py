@@ -128,6 +128,16 @@ def curate_corpus(
     # cost distinct-sigs^2 per bucket instead of keepers^2.
     keeper_docs = flagged.where(is_keeper).select("id", "_text")
     sigs = simhash_signatures(keeper_docs, id_col="id", text_col="_text", bits=bits)
+    # The near tier consumes `sigs` from FOUR branches (the join-back,
+    # the rep groupBy, and both sides of the banded self-join); without
+    # materialization Spark recomputes the whole scan -> score ->
+    # window -> signature-aggregate chain per branch (measured: a
+    # 5-scan / 18-exchange plan).  Persist the (id, sig) projection —
+    # it is the smallest point in the DAG (two columns, exact keepers
+    # only).  At 100 TB the same cut is a WRITE: land the signature
+    # table (the *_dedup_incremental tiers' signature store) and run
+    # the near tier against storage.
+    sigs = sigs.persist()
     reps = sigs.groupBy("sig").agg(F.min("id").alias("_rid"))
     banded = _simhash_banded(reps.select(F.col("_rid").alias("id"), "sig"), bits, bands)
     a, b = banded.alias("a"), banded.alias("b")
