@@ -1875,6 +1875,46 @@ WHERE substring(md5('r3|' || CAST(doc_id AS VARCHAR)), 1, 8)
 
 
 # --------------------------------------------------------------------
+# 32h. Data mixing (operators/curate.py mix_corpus): downsample each
+#      language so the corpus follows a target mixture — budget=None
+#      keeps the largest corpus achievable at exactly that mixture
+#      (the binding domain keeps rate 1.0).  The oracle mirrors the
+#      rate arithmetic byte-for-byte: per-domain counts -> s = min(n/w)
+#      -> rate = w*s/n -> md5-threshold keep predicate, all in IEEE
+#      double with the same operation order, so the kept ROW SET (not
+#      just counts) hash-matches.  Weights are relative (ratios only),
+#      cast to DOUBLE in SQL because DuckDB VALUES literals default to
+#      DECIMAL.
+# --------------------------------------------------------------------
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import mix_corpus
+
+    sampled, _rates = mix_corpus(
+        T(spark, sf_dir, "documents"),
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1},
+        domain_col="lang",
+        salt="mix",
+    )
+    return sampled.select("doc_id", "lang")
+
+
+_SQL_MIX_CORPUS = """
+WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT d, CAST(w AS DOUBLE) AS w FROM (VALUES
+        ('en', 0.4), ('de', 0.2), ('es', 0.2), ('fr', 0.1), ('zh', 0.1)
+      ) AS t(d, w)),
+s AS (SELECT min(n / w) AS s FROM c JOIN w USING (d)),
+r AS (SELECT d, CASE WHEN w * s.s / n > 1.0 THEN 1.0 ELSE w * s.s / n END AS rate
+      FROM c JOIN w USING (d) CROSS JOIN s)
+SELECT doc_id, lang
+FROM documents JOIN r ON lang = r.d
+WHERE rate >= 1.0
+   OR substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))
+"""
+
+
+# --------------------------------------------------------------------
 # 32f. Intra-document repetition metrics (operators/curate.py): the
 #      Gopher-rule repetition signal over word bigrams — per doc the
 #      n-gram slot counts plus dup/top fractions (rounded 3 on both
@@ -2767,6 +2807,7 @@ LOCAL_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "duplicate_passages": q_duplicate_passages,
     "semdedup": q_semdedup,
+    "mix_corpus": q_mix_corpus,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -2791,4 +2832,5 @@ LOCAL_ORACLE_SQL = {
     "simhash_pairs": _SQL_SIMHASH_PAIRS,
     "duplicate_passages": _SQL_DUP_PASSAGES,
     "semdedup": _SQL_SEMDEDUP,
+    "mix_corpus": _SQL_MIX_CORPUS,
 }

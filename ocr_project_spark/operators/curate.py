@@ -338,6 +338,83 @@ def hash_sample(
     return df.where(keep)
 
 
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+    budget: int | None = None,
+    salt: str = "",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Target-mixture downsampling ("data mixing"): subsample each
+    domain so the output corpus follows the RELATIVE ``weights``
+    (domain -> weight; only ratios matter), the knob every pretraining
+    run turns to rebalance web/books/code/language shares.
+
+    Two passes, both scale-clean: (1) per-domain counts — one
+    aggregate, #domains rows collected to the driver (metadata scale);
+    (2) ``hash_sample``'s stratified narrow filter with the derived
+    per-domain rates — deterministic, shuffle-free, reproducible
+    across runs, cluster sizes and repartitionings.
+
+    ``budget=None`` keeps the LARGEST corpus achievable at exactly the
+    requested mixture: the binding domain (min over count_d / w_d)
+    keeps rate 1.0 and every other domain downsamples to match.  An
+    explicit ``budget`` targets ~budget total documents instead; a
+    budget so large some domain would need rate > 1 is infeasible at
+    that mixture and raises (upsampling/repetition is a different
+    operation — this one never duplicates a document).
+
+    Domains absent from ``weights`` are dropped (hash_sample's
+    explicit-decision default).  Weights must be > 0; a domain with
+    weight listed but zero rows makes the mixture infeasible
+    (budget=None collapses to an empty corpus) and raises.
+
+    Returns (sampled df, per-domain rates) — the rates are the audit
+    lineage a resumable pipeline records next to its manifest.  Exact
+    per-domain arithmetic (count/weight division order) is mirrored by
+    the DuckDB oracle byte-for-byte; expected sizes are approximate
+    (hash thresholds), the SAMPLE itself is deterministic.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one domain")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be > 0 (omit a domain to drop it)")
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = [d for d in weights if counts.get(d, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"domains {missing} have no rows — mixture infeasible "
+            "(remove them from weights)"
+        )
+    if budget is None:
+        s = min(counts[d] / w for d, w in weights.items())
+    else:
+        s = budget / sum(weights.values())
+    rates: dict[str, float] = {}
+    for d, w in weights.items():
+        r = w * s / counts[d]
+        if r > 1.0:
+            if budget is None:
+                # float noise on the binding domain only — clamp
+                r = 1.0
+            else:
+                raise ValueError(
+                    f"budget {budget} needs rate {r:.3f} > 1 for domain "
+                    f"{d!r} — infeasible at this mixture"
+                )
+        rates[d] = r
+    sampled = hash_sample(
+        df, key_col=key_col, salt=salt, strata_col=domain_col, rates=rates
+    )
+    return sampled, rates
+
+
 def repetition_stats(
     docs: DataFrame,
     n: int = 2,

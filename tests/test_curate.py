@@ -366,3 +366,82 @@ def test_hash_threshold_properties():
             assert len(ta) == 8 and all(c in "0123456789abcdef" for c in ta)
 
     check()
+
+
+# ------------------------------------------------------------------
+# mix_corpus: target-mixture downsampling
+# ------------------------------------------------------------------
+def _mix_docs(spark, per_domain: dict[str, int]):
+    rows, i = [], 0
+    for d, n in per_domain.items():
+        for _ in range(n):
+            rows.append((i, d))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_mix_corpus_max_feasible_mixture(spark):
+    from ocr_project_spark.operators.curate import mix_corpus
+
+    docs = _mix_docs(spark, {"en": 8000, "de": 1000, "zh": 4000})
+    sampled, rates = mix_corpus(
+        docs, {"en": 0.5, "de": 0.25, "zh": 0.25}, salt="t"
+    )
+    # binding domain: de needs 1000/0.25 -> s=4000; en target 2000
+    # (rate .25), zh target 1000 (rate .25), de rate 1.0
+    assert rates["de"] == 1.0
+    assert abs(rates["en"] - 0.25) < 1e-12
+    assert abs(rates["zh"] - 0.25) < 1e-12
+    got = sampled.groupBy("lang").count().collect()
+    n = {r["lang"]: r["count"] for r in got}
+    assert n["de"] == 1000  # rate 1.0 keeps everything
+    assert abs(n["en"] - 2000) < 250  # ~5 sd of binomial(8000, .25)
+    assert abs(n["zh"] - 1000) < 200
+    # mixture achieved within sampling noise: en ~ 2x de ~ 2x zh
+    assert abs(n["en"] / (n["en"] + n["de"] + n["zh"]) - 0.5) < 0.05
+
+
+def test_mix_corpus_budget_form_and_infeasible(spark):
+    from ocr_project_spark.operators.curate import mix_corpus
+
+    docs = _mix_docs(spark, {"en": 8000, "de": 1000})
+    sampled, rates = mix_corpus(docs, {"en": 1.0, "de": 1.0}, budget=1000)
+    assert abs(rates["en"] - 500 / 8000) < 1e-12
+    assert abs(rates["de"] - 0.5) < 1e-12
+    total = sampled.count()
+    assert abs(total - 1000) < 150
+    with pytest.raises(ValueError, match="infeasible"):
+        mix_corpus(docs, {"en": 1.0, "de": 1.0}, budget=3000)  # de needs 1500
+
+
+def test_mix_corpus_drops_unlisted_and_validates(spark):
+    from ocr_project_spark.operators.curate import mix_corpus
+
+    docs = _mix_docs(spark, {"en": 500, "de": 500, "xx": 500})
+    sampled, _ = mix_corpus(docs, {"en": 1.0, "de": 1.0})
+    assert sampled.where(F.col("lang") == "xx").count() == 0
+    assert sampled.count() == 1000  # equal counts, equal weights: all kept
+    with pytest.raises(ValueError, match="no rows"):
+        mix_corpus(docs, {"en": 1.0, "fr": 1.0})
+    with pytest.raises(ValueError, match="> 0"):
+        mix_corpus(docs, {"en": 0.0})
+    with pytest.raises(ValueError, match="at least one"):
+        mix_corpus(docs, {})
+
+
+def test_mix_corpus_is_stratified_hash_sample(spark):
+    """The sample IS hash_sample with the derived rates — same salt,
+    same rows; and it stays deterministic under repartitioning."""
+    from ocr_project_spark.operators.curate import hash_sample, mix_corpus
+
+    docs = _mix_docs(spark, {"en": 3000, "de": 700})
+    sampled, rates = mix_corpus(docs, {"en": 0.6, "de": 0.4}, salt="m")
+    direct = hash_sample(
+        docs, strata_col="lang", rates=rates, key_col="doc_id", salt="m"
+    )
+    a = {r["doc_id"] for r in sampled.collect()}
+    assert a == {r["doc_id"] for r in direct.collect()}
+    again, _ = mix_corpus(
+        docs.repartition(13), {"en": 0.6, "de": 0.4}, salt="m"
+    )
+    assert a == {r["doc_id"] for r in again.collect()}
