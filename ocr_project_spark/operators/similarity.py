@@ -616,6 +616,14 @@ def semdedup(
     asg = assign_centroids(
         reps.select("id", F.col("sig").alias("v")), centroids, vec_col="v"
     ).select("id", "v", "cluster")
+    # `asg` is consumed from four branches (both sides of the
+    # domination self-join, the keep join-back, and the member
+    # cluster lookup) — persist it so the scan -> collapse -> assign
+    # chain computes once (the same cut curate_corpus makes; measured
+    # there as a 6-scan plan without it).  At 100 TB this cut is a
+    # WRITE: land the assigned table bucketed by `cluster`, as the
+    # docstring's scale note says.
+    asg = asg.persist()
     a, b = asg.alias("a"), asg.alias("b")
     dominated = (
         a.join(
