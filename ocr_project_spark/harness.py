@@ -1898,6 +1898,55 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "lang")
 
 
+# --------------------------------------------------------------------
+# 32i. C4-style line cleaning (operators/curate.py clean_lines): the
+#      synthetic corpus is single-line word salad, so the query first
+#      derives a deterministic multi-line column (every " the " becomes
+#      ".\n" — identical replace() on both engines), then applies the
+#      C4 rules: >= 3 words, terminal punctuation, no blocklisted
+#      phrase ("agg" here so the rule genuinely fires on this corpus).
+# --------------------------------------------------------------------
+def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import clean_lines
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r" the ", ".\n").alias("text"),
+    )
+    out = clean_lines(d, min_words=3, blocklist=("agg",), min_lines=2)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_lines_in").cast("long").alias("n_lines_in"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        "keep",
+    )
+
+
+_SQL_CLEAN_LINES = """
+WITH d AS (SELECT doc_id, replace(text, ' the ', '.' || chr(10)) AS text
+           FROM documents),
+l AS (SELECT doc_id,
+             list_filter(
+               list_transform(string_split(coalesce(text, ''), chr(10)),
+                              x -> trim(x)),
+               x -> x <> '') AS lines
+      FROM d),
+k AS (SELECT doc_id, lines,
+             list_filter(lines, x ->
+               len(string_split_regex(x, '\\s+')) >= 3
+               AND regexp_matches(x, '[.!?"]$')
+               AND NOT contains(lower(x), 'agg')) AS kept
+      FROM l)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       CAST(len(lines) AS BIGINT) AS n_lines_in,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       len(kept) >= 2 AS keep
+FROM k
+"""
+
+
 _SQL_MIX_CORPUS = """
 WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
 w AS (SELECT d, CAST(w AS DOUBLE) AS w FROM (VALUES
@@ -2808,6 +2857,7 @@ LOCAL_QUERIES = {
     "duplicate_passages": q_duplicate_passages,
     "semdedup": q_semdedup,
     "mix_corpus": q_mix_corpus,
+    "clean_lines": q_clean_lines,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -2833,4 +2883,5 @@ LOCAL_ORACLE_SQL = {
     "duplicate_passages": _SQL_DUP_PASSAGES,
     "semdedup": _SQL_SEMDEDUP,
     "mix_corpus": _SQL_MIX_CORPUS,
+    "clean_lines": _SQL_CLEAN_LINES,
 }

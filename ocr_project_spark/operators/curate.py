@@ -492,3 +492,53 @@ def repetition_stats(
             ).alias("top_gram_frac"),
         )
     )
+
+
+def clean_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal: bool = True,
+    blocklist: tuple[str, ...] = ("lorem ipsum", "javascript", "{"),
+    min_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the
+    rules the C4 corpus applied to every Common Crawl page): per line,
+    keep only lines with >= ``min_words`` words that end in terminal
+    punctuation (``.!?"``) and contain no blocklisted phrase
+    (case-insensitive); per document, flag docs that retain fewer than
+    ``min_lines`` lines.
+
+    Entirely built-in array HOFs over one projection — no shuffle, no
+    Python, whole-stage-codegen'd: split -> trim -> filter ->
+    array_join.  At 100 TB this is a free rider on the scan.
+
+    Returns (id_col, clean_text, n_lines_in, n_lines_kept, keep):
+    ``clean_text`` is the kept lines rejoined with newlines (empty
+    string when nothing survives), ``keep`` is the document-level
+    verdict.  Rows are never dropped — like extract()'s never-fail
+    status contract, the caller filters on ``keep`` and retains the
+    audit trail.
+    """
+    raw = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    lines = F.filter(
+        F.transform(raw, lambda l: F.trim(l)), lambda l: l != ""
+    )
+
+    def _good(l):
+        cond = F.size(F.split(l, r"\s+")) >= F.lit(min_words)
+        if require_terminal:
+            cond = cond & l.rlike(r'[.!?"]$')
+        for phrase in blocklist:
+            cond = cond & ~F.lower(l).contains(phrase.lower())
+        return cond
+
+    kept = F.filter(lines, _good)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).alias("n_lines_in"),
+        F.size(kept).alias("n_lines_kept"),
+        (F.size(kept) >= F.lit(min_lines)).alias("keep"),
+    )

@@ -445,3 +445,63 @@ def test_mix_corpus_is_stratified_hash_sample(spark):
         docs.repartition(13), {"en": 0.6, "de": 0.4}, salt="m"
     )
     assert a == {r["doc_id"] for r in again.collect()}
+
+
+# ------------------------------------------------------------------
+# clean_lines: C4-style line-level cleaning
+# ------------------------------------------------------------------
+def test_clean_lines_rules(spark):
+    from ocr_project_spark.operators.curate import clean_lines
+
+    docs = spark.createDataFrame(
+        [
+            # kept line, short line, no-terminal line, blocklisted line
+            (1, "the quick brown fox jumps.\nno.\nthis line never ends\n"
+                "click here javascript required."),
+            # whitespace-only and empty lines vanish before counting
+            (2, "   \n\none good sentence stays here.\n   "),
+            (3, None),
+            (4, ""),
+            # terminal quote counts; exactly min_words boundary
+            (5, 'he said "stop right there!"\na b c.\na b.'),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in clean_lines(docs, min_words=3, min_lines=1).collect()
+    }
+    assert out[1]["clean_text"] == "the quick brown fox jumps."
+    assert out[1]["n_lines_in"] == 4 and out[1]["n_lines_kept"] == 1
+    assert out[1]["keep"]
+    assert out[2]["clean_text"] == "one good sentence stays here."
+    assert out[2]["n_lines_in"] == 1
+    # null/empty docs: never-fail rows with keep=False
+    for i in (3, 4):
+        assert out[i]["clean_text"] == ""
+        assert out[i]["n_lines_in"] == 0 and not out[i]["keep"]
+    # quote terminal kept; "a b c." exactly 3 words kept; "a b." dropped
+    assert out[5]["clean_text"] == 'he said "stop right there!"\na b c.'
+    assert out[5]["n_lines_kept"] == 2
+
+
+def test_clean_lines_knobs(spark):
+    from ocr_project_spark.operators.curate import clean_lines
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma\ndelta epsilon zeta.")],
+        "doc_id long, text string",
+    )
+    # require_terminal=False admits the unpunctuated line
+    out = clean_lines(docs, require_terminal=False, min_lines=2).collect()[0]
+    assert out["n_lines_kept"] == 2 and out["keep"]
+    # blocklist is case-insensitive
+    docs2 = spark.createDataFrame(
+        [(1, "this mentions JavaScript somewhere bad.\nthis one is fine.")],
+        "doc_id long, text string",
+    )
+    out2 = clean_lines(docs2).collect()[0]
+    assert out2["clean_text"] == "this one is fine."
+    # min_lines gates the document verdict
+    out3 = clean_lines(docs2, min_lines=2).collect()[0]
+    assert not out3["keep"] and out3["n_lines_kept"] == 1
