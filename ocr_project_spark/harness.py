@@ -1947,6 +1947,120 @@ FROM k
 """
 
 
+# --------------------------------------------------------------------
+# 32j. PII scrub (operators/curate.py scrub_pii): the synthetic corpus
+#      carries no PII, so the query first plants it deterministically
+#      (" agg " -> an email, " scan " -> an IPv4, " slow " -> a phone
+#      number — identical replace() on both engines), then redacts and
+#      counts.  Patterns are Java-regex/RE2 portable.
+# --------------------------------------------------------------------
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import scrub_pii
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", r" agg ", " bob@example.com "),
+                r" scan ",
+                " 10.20.30.40 ",
+            ),
+            r" slow ",
+            " +14155550123 ",
+        ).alias("text"),
+    )
+    return scrub_pii(d)
+
+
+_SQL_SCRUB_PII = r"""
+WITH d AS (SELECT doc_id,
+                  replace(replace(replace(text,
+                    ' agg ', ' bob@example.com '),
+                    ' scan ', ' 10.20.30.40 '),
+                    ' slow ', ' +14155550123 ') AS text
+           FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t FROM d),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+              regexp_replace(t,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                  '<IPV4>', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+              len(regexp_extract_all(t, '\+\d{7,15}\b')) AS n_phone,
+              regexp_replace(t, '\+\d{7,15}\b', '<PHONE>', 'g') AS t
+       FROM s2)
+SELECT doc_id, t AS clean_text,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       CAST(n_email + n_ipv4 + n_phone AS BIGINT) AS n_pii
+FROM s3
+"""
+
+
+# --------------------------------------------------------------------
+# 32k. Gopher document-level quality rules (operators/curate.py
+#      gopher_rules): " fast " -> " ### " plants symbol noise so the
+#      symbol-ratio rule genuinely fires on this corpus; min_words=25
+#      splits the synthetic population; 'the'/'a' are real stopwords
+#      here so the distinct-stopword rule discriminates too.
+# --------------------------------------------------------------------
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import gopher_rules
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r" fast ", " ### ").alias("text"),
+    )
+    return gopher_rules(
+        d, min_words=25, min_stopwords=2,
+        stopwords=("the", "a", "an", "of", "and"),
+    )
+
+
+_SQL_GOPHER_RULES = r"""
+WITH d AS (SELECT doc_id, replace(text, ' fast ', ' ### ') AS text
+           FROM documents),
+w AS (SELECT doc_id, coalesce(text, '') AS text,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> '') AS words
+      FROM d),
+m AS (SELECT doc_id, text, words, len(words) AS n_words,
+             CASE WHEN len(words) > 0 THEN round(
+               CAST(list_aggregate(list_transform(words, x -> len(x)),
+                                   'sum') AS DOUBLE) / len(words), 4)
+             ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(words) > 0 THEN round(
+               CAST(len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+               / len(words), 4)
+             ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN len(words) > 0 THEN round(
+               CAST(len(list_filter(words,
+                    x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+               / len(words), 4)
+             ELSE 0.0 END AS alpha_frac,
+             len(list_intersect(list_transform(words, x -> lower(x)),
+                 ['the', 'a', 'an', 'of', 'and'])) AS n_stop
+      FROM w)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       mean_word_len, symbol_ratio, alpha_frac,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       (n_words >= 25 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio < 0.1 AND alpha_frac >= 0.8
+        AND n_stop >= 2) AS keep
+FROM m
+"""
+
+
 _SQL_MIX_CORPUS = """
 WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
 w AS (SELECT d, CAST(w AS DOUBLE) AS w FROM (VALUES
@@ -2858,6 +2972,8 @@ LOCAL_QUERIES = {
     "semdedup": q_semdedup,
     "mix_corpus": q_mix_corpus,
     "clean_lines": q_clean_lines,
+    "scrub_pii": q_scrub_pii,
+    "gopher_rules": q_gopher_rules,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -2884,4 +3000,6 @@ LOCAL_ORACLE_SQL = {
     "semdedup": _SQL_SEMDEDUP,
     "mix_corpus": _SQL_MIX_CORPUS,
     "clean_lines": _SQL_CLEAN_LINES,
+    "scrub_pii": _SQL_SCRUB_PII,
+    "gopher_rules": _SQL_GOPHER_RULES,
 }

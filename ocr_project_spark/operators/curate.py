@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ocr_project_spark.functions.text import lang_guess, quality_score
+from ocr_project_spark.functions.text import lang_guess, quality_score, tokens
 from ocr_project_spark.operators.dedup import (
     _simhash_banded,
     hamming_words_expr,
@@ -491,6 +491,140 @@ def repetition_stats(
                 3,
             ).alias("top_gram_frac"),
         )
+    )
+
+
+# Default PII patterns: portable between Java regex (Spark) and RE2
+# (DuckDB oracle) — no lookaround, no backreferences.  Applied in dict
+# order, each on the output of the previous replacement.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,15}\b",
+}
+
+
+def scrub_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII redaction over a document corpus: replace every match of
+    each pattern with its ``<NAME>`` token and count what was redacted
+    (the audit columns a release-gated training-data run must emit).
+
+    Corpus-scale analog of the reference's text cleanup ladder
+    (/root/reference/src/advanced_ocr/utils/text_processing.py —
+    regex-driven artifact removal before downstream consumption);
+    the PII patterns themselves are the standard web-corpus scrub set.
+
+    Patterns apply sequentially in dict order, each counting against
+    (then rewriting) the output of the previous one — so overlapping
+    matches are resolved deterministically, identically on any engine
+    with leftmost non-overlapping regex-replace semantics.
+
+    Pure ``regexp_count`` + ``regexp_replace`` projections: no
+    shuffle, no Python, whole-stage codegen; at 100 TB a free rider on
+    the scan.  Returns (id_col, clean_text, n_<name> per pattern,
+    n_pii); rows are never dropped.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, pat in pats.items():
+        counts.append(
+            F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        text = F.regexp_replace(text, pat, f"<{name.upper()}>")
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return docs.select(
+        F.col(id_col),
+        text.alias("clean_text"),
+        *counts,
+        total.cast("long").alias("n_pii"),
+    )
+
+
+# Gopher quality-rule defaults (Rae et al. 2021, "Scaling Language
+# Models: ...Gopher", Table A1 document filters).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021, Table A1):
+    word count within [min_words, max_words], mean word length within
+    [min_mean_word_len, max_mean_word_len], symbol-to-word ratio
+    (``#`` or ``...`` occurrences per word) below max_symbol_ratio,
+    at least min_alpha_frac of words containing an alphabetic
+    character, and at least min_stopwords DISTINCT stopwords present.
+
+    Completes the quality trio: ``clean_lines`` (C4, line level) →
+    ``gopher_rules`` (document level) → ``repetition_stats`` (Gopher
+    repetition section).  Like those, one projection of array HOFs —
+    no shuffle, no Python, codegen'd end-to-end.
+
+    Ratios are rounded to 4 decimals so a float boundary cannot
+    straddle an oracle comparison.  Returns (id_col, n_words,
+    mean_word_len, symbol_ratio, alpha_frac, n_stop, keep); rows are
+    never dropped — callers filter on ``keep``.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = tokens(F.col(text_col))
+    n = F.size(words)
+    char_sum = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = F.round(
+        F.when(n > 0, char_sum.cast("double") / n).otherwise(F.lit(0.0)), 4
+    )
+    n_sym = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    )
+    sym_ratio = F.round(
+        F.when(n > 0, n_sym.cast("double") / n).otherwise(F.lit(0.0)), 4
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_frac = F.round(
+        F.when(n > 0, n_alpha.cast("double") / n).otherwise(F.lit(0.0)), 4
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in stopwords]),
+        )
+    )
+    keep = (
+        (n >= F.lit(min_words))
+        & (n <= F.lit(max_words))
+        & (mean_len >= F.lit(min_mean_word_len))
+        & (mean_len <= F.lit(max_mean_word_len))
+        & (sym_ratio < F.lit(max_symbol_ratio))
+        & (alpha_frac >= F.lit(min_alpha_frac))
+        & (n_stop >= F.lit(min_stopwords))
+    )
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stop"),
+        keep.alias("keep"),
     )
 
 

@@ -505,3 +505,100 @@ def test_clean_lines_knobs(spark):
     # min_lines gates the document verdict
     out3 = clean_lines(docs2, min_lines=2).collect()[0]
     assert not out3["keep"] and out3["n_lines_kept"] == 1
+
+
+# ------------------------------------------------------------------
+# scrub_pii: regex PII redaction with audit counts
+# ------------------------------------------------------------------
+def test_scrub_pii_patterns(spark):
+    from ocr_project_spark.operators.curate import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com or sue.jones+x@sub.domain.org now"),
+            (2, "from 10.0.0.1 to 255.255.255.255 end"),
+            (3, "call +14155550123 today"),
+            (4, "all three: a@b.io 1.2.3.4 +491234567"),
+            (5, "nothing to redact here"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> or <EMAIL> now"
+    assert out[1]["n_email"] == 2 and out[1]["n_pii"] == 2
+    assert out[2]["clean_text"] == "from <IPV4> to <IPV4> end"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["clean_text"] == "call <PHONE> today"
+    assert out[3]["n_phone"] == 1
+    assert out[4]["clean_text"] == "all three: <EMAIL> <IPV4> <PHONE>"
+    assert out[4]["n_pii"] == 3
+    assert out[5]["clean_text"] == "nothing to redact here"
+    assert out[5]["n_pii"] == 0
+    # null text: never-fail empty row
+    assert out[6]["clean_text"] == "" and out[6]["n_pii"] == 0
+
+
+def test_scrub_pii_sequential_order(spark):
+    from ocr_project_spark.operators.curate import scrub_pii
+
+    # custom patterns: the second pattern must see the FIRST one's
+    # replacement output (sequential fold), so 'aa' -> X then 'X b'
+    # -> Y composes; counts reflect each stage's own input.
+    docs = spark.createDataFrame([(1, "aa b")], "doc_id long, text string")
+    out = scrub_pii(
+        docs, patterns={"first": "aa", "second": "<FIRST> b"}
+    ).collect()[0]
+    assert out["n_first"] == 1 and out["n_second"] == 1
+    assert out["clean_text"] == "<SECOND>"
+
+
+# ------------------------------------------------------------------
+# gopher_rules: Gopher document-level quality gates
+# ------------------------------------------------------------------
+def test_gopher_rules_gates(spark):
+    from ocr_project_spark.operators.curate import gopher_rules
+
+    good = "the quick brown fox and the lazy dog ran with vigor " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                # passes everything
+            (2, "the of and"),                        # too few words
+            (3, ("## # ## # ## the of " + "word " * 50)),  # symbol ratio
+            (4, ("1 2 3 4 5 6 7 8 9 0 " * 6 + "the of")),  # alpha frac
+            (5, ("zz yy xx ww vv uu tt ss rr qq " * 6)),   # no stopwords
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(docs, min_words=10).collect()
+    }
+    assert out[1]["keep"]
+    assert out[1]["n_stop"] == 3  # distinct: the, and, with
+    assert not out[2]["keep"] and out[2]["n_words"] == 3
+    assert not out[3]["keep"] and out[3]["symbol_ratio"] > 0.1
+    assert not out[4]["keep"] and out[4]["alpha_frac"] < 0.8
+    assert not out[5]["keep"] and out[5]["n_stop"] == 0
+    assert not out[6]["keep"] and out[6]["n_words"] == 0
+
+
+def test_gopher_rules_metrics_exact(spark):
+    from ocr_project_spark.operators.curate import gopher_rules
+
+    docs = spark.createDataFrame(
+        [(1, "the cat... sat #on the mat")],
+        "doc_id long, text string",
+    )
+    out = gopher_rules(docs, min_words=1).collect()[0]
+    # words: the cat... sat #on the mat -> 6 words
+    assert out["n_words"] == 6
+    # chars: 3+6+3+3+3+3 = 21 -> 3.5
+    assert out["mean_word_len"] == 3.5
+    # one '#' + one '...' over 6 words
+    assert out["symbol_ratio"] == round(2 / 6, 4)
+    # '#on' contains alpha; all 6 words alpha
+    assert out["alpha_frac"] == 1.0
+    # distinct stopwords present: 'the' only ('mat'/'cat' not in set)
+    assert out["n_stop"] == 1
