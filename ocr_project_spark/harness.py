@@ -2061,6 +2061,154 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------
+# 32l. Corpus funnel: the full pretraining-data ladder composed from
+#      the public curation API — C4 line cleaning -> Gopher doc gates
+#      -> PII scrub -> exact dedup — reporting the per-stage funnel
+#      (docs surviving, whitespace tokens remaining).  Every stage is a
+#      narrow projection over the previous one; the only shuffles are
+#      the five tiny aggregates and the final dedup groupBy.  The same
+#      deterministic derivations as 32i/32j plant multi-line text and
+#      PII into the synthetic corpus so every rung genuinely fires.
+# --------------------------------------------------------------------
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import (
+        clean_lines,
+        gopher_rules,
+        scrub_pii,
+    )
+
+    def ntok(c):
+        return F.size(
+            F.array_remove(F.split(F.coalesce(c, F.lit("")), r"\s+"), "")
+        )
+
+    def stage(df, name, text_col):
+        return df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(ntok(F.col(text_col))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", r" salt ", " bob@example.com "),
+            r" the ",
+            ".\n",
+        ).alias("text"),
+    )
+    cl = clean_lines(d, min_words=3, blocklist=("agg",), min_lines=2).where(
+        "keep"
+    )
+    g_keep = (
+        gopher_rules(
+            cl.select("doc_id", F.col("clean_text").alias("text")),
+            min_words=8,
+            min_stopwords=1,
+            stopwords=("a",),
+        )
+        .where("keep")
+        .select("doc_id")
+    )
+    gd = cl.join(g_keep, "doc_id").select("doc_id", "clean_text")
+    sc = scrub_pii(gd.select("doc_id", F.col("clean_text").alias("text")))
+    ded = sc.groupBy("clean_text").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        stage(d, "00_input", "text")
+        .unionAll(stage(cl, "10_line_clean", "clean_text"))
+        .unionAll(stage(gd, "20_gopher", "clean_text"))
+        .unionAll(stage(sc, "30_pii_scrub", "clean_text"))
+        .unionAll(stage(ded, "40_exact_dedup", "clean_text"))
+    )
+
+
+_SQL_CORPUS_FUNNEL = r"""
+WITH d AS (SELECT doc_id,
+                  replace(replace(text, ' salt ', ' bob@example.com '),
+                          ' the ', '.' || chr(10)) AS text
+           FROM documents),
+cl0 AS (SELECT doc_id,
+               list_filter(
+                 list_transform(string_split(coalesce(text, ''), chr(10)),
+                                x -> trim(x)),
+                 x -> x <> '') AS lines
+        FROM d),
+cl AS (SELECT doc_id,
+              coalesce(array_to_string(list_filter(lines, x ->
+                len(string_split_regex(x, '\s+')) >= 3
+                AND regexp_matches(x, '[.!?"]$')
+                AND NOT contains(lower(x), 'agg')), chr(10)), '')
+              AS clean_text,
+              len(list_filter(lines, x ->
+                len(string_split_regex(x, '\s+')) >= 3
+                AND regexp_matches(x, '[.!?"]$')
+                AND NOT contains(lower(x), 'agg'))) AS n_kept
+       FROM cl0),
+c1 AS (SELECT doc_id, clean_text FROM cl WHERE n_kept >= 2),
+gm AS (SELECT doc_id, clean_text,
+              list_filter(string_split_regex(coalesce(clean_text, ''),
+                                             '\s+'),
+                          x -> x <> '') AS words
+       FROM c1),
+g AS (SELECT doc_id, clean_text FROM gm
+      WHERE len(words) >= 8 AND len(words) <= 100000
+        AND CASE WHEN len(words) > 0 THEN round(
+              CAST(list_aggregate(list_transform(words, x -> len(x)),
+                                  'sum') AS DOUBLE) / len(words), 4)
+            ELSE 0.0 END BETWEEN 3.0 AND 10.0
+        AND CASE WHEN len(words) > 0 THEN round(
+              CAST(len(regexp_extract_all(clean_text, '#'))
+                   + len(regexp_extract_all(clean_text, '\.\.\.'))
+                   AS DOUBLE) / len(words), 4)
+            ELSE 0.0 END < 0.1
+        AND CASE WHEN len(words) > 0 THEN round(
+              CAST(len(list_filter(words,
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+              / len(words), 4)
+            ELSE 0.0 END >= 0.8
+        AND len(list_intersect(list_transform(words, x -> lower(x)),
+                               ['a'])) >= 1),
+sc AS (SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(clean_text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                  '<IPV4>', 'g'),
+                '\+\d{7,15}\b', '<PHONE>', 'g') AS clean_text
+       FROM g),
+ded AS (SELECT min(doc_id) AS doc_id, clean_text FROM sc
+        GROUP BY clean_text)
+SELECT '00_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(len(list_filter(
+         string_split_regex(coalesce(text, ''), '\s+'),
+         x -> x <> ''))), 0) AS BIGINT) AS n_tokens FROM d
+UNION ALL
+SELECT '10_line_clean', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(list_filter(
+         string_split_regex(coalesce(clean_text, ''), '\s+'),
+         x -> x <> ''))), 0) AS BIGINT) FROM c1
+UNION ALL
+SELECT '20_gopher', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(list_filter(
+         string_split_regex(coalesce(clean_text, ''), '\s+'),
+         x -> x <> ''))), 0) AS BIGINT) FROM g
+UNION ALL
+SELECT '30_pii_scrub', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(list_filter(
+         string_split_regex(coalesce(clean_text, ''), '\s+'),
+         x -> x <> ''))), 0) AS BIGINT) FROM sc
+UNION ALL
+SELECT '40_exact_dedup', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(list_filter(
+         string_split_regex(coalesce(clean_text, ''), '\s+'),
+         x -> x <> ''))), 0) AS BIGINT) FROM ded
+"""
+
+
 _SQL_MIX_CORPUS = """
 WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
 w AS (SELECT d, CAST(w AS DOUBLE) AS w FROM (VALUES
@@ -2974,6 +3122,7 @@ LOCAL_QUERIES = {
     "clean_lines": q_clean_lines,
     "scrub_pii": q_scrub_pii,
     "gopher_rules": q_gopher_rules,
+    "corpus_funnel": q_corpus_funnel,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -3002,4 +3151,5 @@ LOCAL_ORACLE_SQL = {
     "clean_lines": _SQL_CLEAN_LINES,
     "scrub_pii": _SQL_SCRUB_PII,
     "gopher_rules": _SQL_GOPHER_RULES,
+    "corpus_funnel": _SQL_CORPUS_FUNNEL,
 }

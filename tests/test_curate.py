@@ -602,3 +602,27 @@ def test_gopher_rules_metrics_exact(spark):
     assert out["alpha_frac"] == 1.0
     # distinct stopwords present: 'the' only ('mat'/'cat' not in set)
     assert out["n_stop"] == 1
+
+
+def test_corpus_funnel_monotone(spark):
+    """The composed pretraining ladder (harness.q_corpus_funnel) emits
+    one row per stage with monotonically non-increasing doc counts, and
+    the PII-scrub stage never drops documents."""
+    from ocr_project_spark import harness
+
+    rows = {
+        r["stage"]: r
+        for r in harness.LOCAL_QUERIES["corpus_funnel"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert sorted(rows) == [
+        "00_input", "10_line_clean", "20_gopher",
+        "30_pii_scrub", "40_exact_dedup",
+    ]
+    order = sorted(rows)
+    for a, b in zip(order, order[1:]):
+        assert rows[b]["n_docs"] <= rows[a]["n_docs"]
+        assert rows[b]["n_tokens"] <= rows[a]["n_tokens"]
+    assert rows["30_pii_scrub"]["n_docs"] == rows["20_gopher"]["n_docs"]
+    assert rows["00_input"]["n_docs"] > rows["40_exact_dedup"]["n_docs"]
