@@ -2209,6 +2209,38 @@ SELECT '40_exact_dedup', CAST(count(*) AS BIGINT),
 """
 
 
+# --------------------------------------------------------------------
+# 32m. Training-order shuffle (operators/curate.py shuffle_shards):
+#      deal documents into 7 shards by content hash with a total,
+#      reproducible within-shard order.  The oracle replays the md5
+#      arithmetic exactly ('0x'||hex -> UBIGINT in DuckDB, conv() in
+#      Spark).
+# --------------------------------------------------------------------
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import shuffle_shards
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(d, n_shards=7, salt="epoch0").select(
+        "doc_id", "shard", "pos"
+    )
+
+
+_SQL_SHUFFLE_SHARDS = """
+WITH h AS (SELECT doc_id,
+                  md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS digest
+           FROM documents),
+s AS (SELECT doc_id, digest,
+             CAST(CAST(('0x' || substring(digest, 1, 8)) AS UBIGINT) % 7
+                  AS BIGINT) AS shard
+      FROM h)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY digest, CAST(doc_id AS VARCHAR))
+            - 1 AS BIGINT) AS pos
+FROM s
+"""
+
+
 _SQL_MIX_CORPUS = """
 WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
 w AS (SELECT d, CAST(w AS DOUBLE) AS w FROM (VALUES
@@ -3123,6 +3155,7 @@ LOCAL_QUERIES = {
     "scrub_pii": q_scrub_pii,
     "gopher_rules": q_gopher_rules,
     "corpus_funnel": q_corpus_funnel,
+    "shuffle_shards": q_shuffle_shards,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -3152,4 +3185,5 @@ LOCAL_ORACLE_SQL = {
     "scrub_pii": _SQL_SCRUB_PII,
     "gopher_rules": _SQL_GOPHER_RULES,
     "corpus_funnel": _SQL_CORPUS_FUNNEL,
+    "shuffle_shards": _SQL_SHUFFLE_SHARDS,
 }

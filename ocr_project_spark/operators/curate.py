@@ -338,6 +338,54 @@ def hash_sample(
     return df.where(keep)
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment:
+    the step between packing and the trainer, where the corpus is
+    dealt into ``n_shards`` files in an order that must not correlate
+    with the ingest order (web crawls arrive domain-clustered; a
+    trainer reading them in scan order sees non-i.i.d. batches).
+
+    shard = int(first 8 md5 hex digits of (salt|key)) mod n_shards;
+    pos   = 0-based rank of the full digest within the shard (ties —
+    impossible for distinct keys — broken by the key string, making
+    the order total; multiple NULL-key rows share the sentinel digest
+    and take consecutive slots in an arbitrary relative order).  Like
+    ``hash_sample``, verdicts are pure content hashes: reproducible
+    across runs, cluster sizes, and repartitionings, and a different
+    ``salt`` deals an independent permutation (epoch reshuffles).
+
+    Physical shape at 10^12 docs: ONE hash exchange on ``shard``
+    (uniform by construction — md5 cannot skew) followed by an
+    in-partition sort; with ``n_shards`` >= shuffle parallelism this
+    is exactly the repartition + sortWithinPartitions layout a shard
+    writer wants — no global sort, no driver involvement.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    prefix = f"{salt}|" if salt else ""
+    key_str = F.coalesce(
+        F.col(key_col).cast("string"), F.lit("\x00<null-key>")
+    )
+    digest = F.md5(F.concat(F.lit(prefix), key_str))
+    shard = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+        % F.lit(n_shards)
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("_digest", "_key_str")
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("_key_str", key_str)
+        .withColumn("shard", shard)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_digest", "_key_str")
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     weights: dict[str, float],

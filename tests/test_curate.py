@@ -626,3 +626,55 @@ def test_corpus_funnel_monotone(spark):
         assert rows[b]["n_tokens"] <= rows[a]["n_tokens"]
     assert rows["30_pii_scrub"]["n_docs"] == rows["20_gopher"]["n_docs"]
     assert rows["00_input"]["n_docs"] > rows["40_exact_dedup"]["n_docs"]
+
+
+# ------------------------------------------------------------------
+# shuffle_shards: deterministic training-order shuffle
+# ------------------------------------------------------------------
+def test_shuffle_shards_contract(spark):
+    from ocr_project_spark.operators.curate import shuffle_shards
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id")
+    out = shuffle_shards(docs, n_shards=5, salt="e0")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["shard"] < 5
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # every shard's positions are exactly 0..len-1 (dense, total order)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # uniform-ish deal: no shard takes more than half the corpus
+    assert max(len(v) for v in by_shard.values()) < len(rows) / 2
+
+    # reproducible across repartitionings; different salt -> different deal
+    again = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(docs.repartition(13), 5, salt="e0").collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    other = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(docs, 5, salt="e1").collect()
+    }
+    assert other != again
+
+
+def test_shuffle_shards_null_keys_and_guard(spark):
+    import pytest as _pytest
+    from ocr_project_spark.operators.curate import shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(None,), (None,), (1,)], "doc_id long"
+    )
+    rows = shuffle_shards(docs, 3).collect()
+    # null keys share the sentinel digest: same shard, adjacent pos
+    nulls = [r for r in rows if r["doc_id"] is None]
+    assert len(nulls) == 2 and nulls[0]["shard"] == nulls[1]["shard"]
+    p = sorted(n["pos"] for n in nulls)
+    assert p == [p[0], p[0] + 1]  # consecutive slots in the shard
+    with _pytest.raises(ValueError):
+        shuffle_shards(docs, 0)
