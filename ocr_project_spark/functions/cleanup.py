@@ -64,3 +64,29 @@ def normalize_for_strategy(text: Column, strategy: Column) -> Column:
         .when(strategy == F.lit("balanced"), normalize_balanced(text))
         .otherwise(normalize_enhanced(text))
     )
+
+
+# Default PII patterns: portable between Java regex (Spark) and RE2
+# (DuckDB oracle) — no lookaround, no backreferences.  Applied in dict
+# order, each on the output of the previous replacement.  Shared by
+# the corpus-level audit operator (operators/curate.scrub_pii) and the
+# span-domain pipeline stage (pipeline.run_pipeline(scrub_pii=True)).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,15}\b",
+}
+
+
+def scrub_pii_text(text: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Redact every PII match in a text column with its ``<NAME>``
+    token — the text-rewrite core shared by the corpus operator (which
+    additionally counts per-pattern redactions) and the span pipeline
+    stage.  Chained ``regexp_replace``: codegen'd, no Python.  NULL
+    text passes through as NULL (span text nullability is part of the
+    span contract; corpus callers coalesce first)."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = text
+    for name, pat in pats.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out

@@ -79,6 +79,12 @@ def build_parser(cfg=None) -> argparse.ArgumentParser:
                    choices=["minimal", "balanced", "enhanced", "auto"],
                    help="K4-K6 output-cleanup tier; 'auto' routes per-doc "
                         "by the K1-K3 quality strategy")
+    p.add_argument("--scrub-pii", action="store_true",
+                   default=bool(c("extract.scrub_pii", False)),
+                   help="redact emails/IPv4s/phone numbers in every "
+                        "output span's text (cleanup.PII_PATTERNS); "
+                        "composes with every mode and is pinned in the "
+                        "checkpoint manifest")
     p.add_argument("--retry-candidates", default=None,
                    help="parquet path of an alternative-configuration "
                         "recognition pass: media fusion runs the two-pass "
@@ -273,6 +279,10 @@ def main(argv: list[str] | None = None) -> int:
         else:
             fn = extract_chunked if args.chunk_mega_docs else extract
             out = fn(docs, cands)
+        if args.scrub_pii:
+            from ocr_project_spark.pipeline import scrub_spans
+
+            out = out.withColumn("spans", scrub_spans(F.col("spans")))
         observed_out, obs = metrics.observed(out)
         observed_out.write.mode("overwrite").parquet(
             f"{args.output}/{checkpoint.OUTPUT_TABLE}"
@@ -293,6 +303,7 @@ def main(argv: list[str] | None = None) -> int:
             retry_candidates=retry_cands,
             retry_threshold=args.retry_threshold,
             normalize=args.normalize,
+            scrub_pii=args.scrub_pii,
             lang_filter_cfg=(
                 cfg if (args.lang_filter and cands is not None) else None
             ),

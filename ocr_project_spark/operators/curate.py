@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ocr_project_spark.functions.cleanup import PII_PATTERNS
 from ocr_project_spark.functions.text import lang_guess, quality_score, tokens
 from ocr_project_spark.operators.dedup import (
     _simhash_banded,
@@ -540,16 +541,6 @@ def repetition_stats(
             ).alias("top_gram_frac"),
         )
     )
-
-
-# Default PII patterns: portable between Java regex (Spark) and RE2
-# (DuckDB oracle) — no lookaround, no backreferences.  Applied in dict
-# order, each on the output of the previous replacement.
-PII_PATTERNS = {
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-    "phone": r"\+\d{7,15}\b",
-}
 
 
 def scrub_pii(

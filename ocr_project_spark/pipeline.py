@@ -43,12 +43,30 @@ def _normalize_spans(spans: Column, tier: str) -> Column:
     )
 
 
+def scrub_spans(spans: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Rewrite every span's text through the PII scrubber
+    (functions/cleanup.scrub_pii_text), preserving kind/media_ref/order
+    and NULL text.  A pure post-transform on the output span array —
+    composes with every pipeline mode (normalize tiers, retry fusion,
+    mega-doc chunking) because it reads nothing but the final text."""
+    return F.transform(
+        spans,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            cleanup.scrub_pii_text(s["text"], patterns).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["order"].alias("order"),
+        ),
+    )
+
+
 def run_pipeline(
     docs: DataFrame,
     candidates: DataFrame | None = None,
     normalize: str | None = None,
     measure_improvement: bool = False,
     early_termination: float | None = None,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """Full composed pipeline.  ``normalize`` in {None, 'minimal',
     'balanced', 'enhanced', 'auto'} selects the K4-K6 output-cleanup
@@ -61,7 +79,26 @@ def run_pipeline(
     extracted spans before vs after normalization
     (functions/features.improvement_expr; reference
     image_enhancer.py:297-334).  Requires a normalize tier.
+
+    ``scrub_pii`` redacts emails/IPv4s/phone numbers in every OUTPUT
+    span's text (cleanup.PII_PATTERNS) as the last stage — after
+    normalization, so a tier cannot reassemble a redacted token, and
+    after improvement measurement, so K7 scores the pre-redaction text
+    (the corpus-level counting form is operators/curate.scrub_pii).
     """
+    if scrub_pii:
+        inner = run_pipeline(
+            docs,
+            candidates,
+            normalize=normalize,
+            measure_improvement=measure_improvement,
+            early_termination=early_termination,
+        )
+        scrubbed = [
+            scrub_spans(F.col(c)).alias(c) if c == "spans" else c
+            for c in inner.columns
+        ]
+        return inner.select(*scrubbed)
     if normalize is None:
         if measure_improvement:
             raise ValueError("measure_improvement requires a normalize tier")

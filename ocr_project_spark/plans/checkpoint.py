@@ -153,6 +153,7 @@ def run(
     retry_candidates: DataFrame | None = None,
     retry_threshold: float = 0.3,
     normalize: str | None = None,
+    scrub_pii: bool = False,
     lang_filter_cfg=None,
     extra_pins: dict | None = None,
 ) -> DataFrame:
@@ -235,6 +236,9 @@ def run(
                 retry_threshold if retry_candidates is not None else None
             ),
             "normalize": normalize,
+            # scrub changes every committed span's text: a resume that
+            # flips it would mix redacted and raw buckets in one table
+            "scrub_pii": scrub_pii,
             "lang_filter": lang_pin,
             **(extra_pins or {}),
         },
@@ -306,6 +310,13 @@ def run(
                 retry_candidates=batch_retry,
                 retry_threshold=retry_threshold,
             )
+        if scrub_pii:
+            # pure per-document post-transform: composes with every
+            # branch above and with resume (batch output is still a
+            # function of the batch inputs + pinned switches)
+            from ocr_project_spark.pipeline import scrub_spans
+
+            out = out.withColumn("spans", scrub_spans(F.col("spans")))
         out = with_bucket(out, n_buckets)
 
         # Per-bucket lineage/metrics in the same pass as the write: one

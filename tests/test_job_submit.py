@@ -368,3 +368,55 @@ def test_parser_exposes_sample_flags():
         ["--input", "/tmp/i", "--output", "/tmp/o", "--run-id", "r"]
     )
     assert args.sample_rate is None
+
+
+def test_job_scrub_pii_end_to_end(spark, corpus_dfs, tmp_path):
+    """--scrub-pii flows through the checkpointed job: planted emails
+    in the input span text never reach the committed output, and the
+    manifest pins the switch."""
+    sys.path.insert(0, ROOT)
+    from pyspark.sql import functions as F
+
+    docs_df, cands_df = corpus_dfs
+    planted = docs_df.limit(40).withColumn(
+        "spans",
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.regexp_replace(
+                    s["text"], r"\bdata\b", "bob@example.com"
+                ).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    ).cache()
+    pq = str(tmp_path / "docs_pq")
+    cq = str(tmp_path / "cands_pq")
+    planted.write.mode("overwrite").parquet(pq)
+    cands_df.join(planted.select("doc_id"), "doc_id").write.mode(
+        "overwrite"
+    ).parquet(cq)
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ, PYTHONPATH=ROOT)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "ocr_project_spark", "job.py"),
+         "--input", pq, "--candidates", cq,
+         "--output", out_dir, "--run-id", "scrub-smoke",
+         "--buckets", "4", "--bucket-batch-size", "4",
+         "--scrub-pii", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    out = spark.read.parquet(f"{out_dir}/extracted")
+    texts = out.selectExpr(
+        "explode(spans) s"
+    ).selectExpr("s.text t").where("t IS NOT NULL").collect()
+    assert texts, "no spans committed"
+    assert all("bob@example.com" not in r["t"] for r in texts)
+    assert any("<EMAIL>" in r["t"] for r in texts)
+    meta = json.loads(open(f"{out_dir}/_run_meta/scrub-smoke.json").read())
+    assert '"scrub_pii": true' in json.dumps(meta)

@@ -161,3 +161,67 @@ def test_extract_documents_convenience(spark, dirty_corpus, tmp_path):
 
     with pytest.raises(TypeError, match="docs must be"):
         engine.extract_documents(123, spark=spark)
+
+
+def test_scrub_pii_spans_redacts_output_text(spark, corpus_dfs):
+    """run_pipeline(scrub_pii=True) over the real fixture corpus with
+    PII planted into span texts: scrubbed output == plain output with
+    each span's text redacted; kind/media_ref/order untouched; NULL
+    text stays NULL; composes with a normalize tier."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.pipeline import run_pipeline
+
+    docs_df, cands_df = corpus_dfs
+    planted = docs_df.withColumn(
+        "spans",
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.regexp_replace(
+                    s["text"], r"\bdata\b", "bob@example.com"
+                ).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
+
+    def key(df):
+        return {
+            r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+            for r in df.collect()
+        }
+
+    plain = key(run_pipeline(planted, cands_df))
+    scrubbed = key(run_pipeline(planted, cands_df, scrub_pii=True))
+    assert set(plain) == set(scrubbed)
+
+    def redact(t):
+        if t is None:
+            return None
+        t = re.sub(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                   "<EMAIL>", t)
+        t = re.sub(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>", t)
+        return re.sub(r"\+\d{7,15}\b", "<PHONE>", t)
+
+    n_redacted = 0
+    for doc_id, ps in plain.items():
+        ss = scrubbed[doc_id]
+        assert [(k, redact(t), m, o) for (k, t, m, o) in ps] == ss
+        n_redacted += sum(
+            1 for (_, t, _, _), (_, t2, _, _) in zip(ps, ss) if t != t2
+        )
+    assert n_redacted > 0  # the plant genuinely reached kept spans
+
+    # composes with a normalize tier: same doc set, still redacted
+    both = run_pipeline(planted, cands_df, normalize="balanced",
+                        scrub_pii=True).collect()
+    assert len(both) == len(plain)
+    assert all(
+        "bob@example.com" not in (s["text"] or "")
+        for r in both for s in (r["spans"] or [])
+    )

@@ -571,3 +571,37 @@ def test_checkpoint_lang_filter_crash_resume_converges(
         for r in out.drop("bucket").collect()
     }
     assert got == want
+
+
+def test_checkpoint_scrub_pii_matches_pipeline_and_pins(spark, corpus_dfs, tmp_path):
+    """checkpoint.run(scrub_pii=True) == run_pipeline(scrub_pii=True)
+    doc-for-doc (scrub is a per-document post-transform, so per-batch
+    application is batch-invariant); the manifest pins the switch so a
+    resume that flips it — mixing redacted and raw buckets — refuses."""
+    import pytest
+
+    from ocr_project_spark.errors import CheckpointConflictError
+    from ocr_project_spark.pipeline import run_pipeline
+    from ocr_project_spark.plans import checkpoint
+
+    docs_df, cands_df = corpus_dfs
+
+    def key(df):
+        return {
+            r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+            for r in df.collect()
+        }
+
+    want = key(run_pipeline(docs_df, cands_df, scrub_pii=True))
+    out_dir = str(tmp_path / "ck_scrub")
+    out = checkpoint.run(
+        spark, docs_df, out_dir, "scrub-run",
+        candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+        scrub_pii=True,
+    )
+    assert key(out.drop("bucket")) == want
+    with pytest.raises(CheckpointConflictError, match="scrub_pii"):
+        checkpoint.run(
+            spark, docs_df, out_dir, "scrub-run",
+            candidates=cands_df, n_buckets=4, bucket_batch_size=2,
+        )
