@@ -2241,6 +2241,48 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------
+# 32n. TF-IDF top terms (operators/curate.py tfidf_top_terms): top-3
+#      salient terms per document by smooth TF-IDF (idf rounded to 6
+#      decimals BEFORE the product so the double ranking key is
+#      engine-portable; score ties break on term ascending).
+# --------------------------------------------------------------------
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import tfidf_top_terms
+
+    return tfidf_top_terms(
+        T(spark, sf_dir, "documents"), k=3, min_df=2
+    ).select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "tfidf",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_SQL_TFIDF = """
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY term HAVING count(*) >= 2),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             tf.tf * round(ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0, 6)
+               AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM s)
+SELECT doc_id, term, tf, df, round(score, 4) AS tfidf,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
 _SQL_MIX_CORPUS = """
 WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
 w AS (SELECT d, CAST(w AS DOUBLE) AS w FROM (VALUES
@@ -3156,6 +3198,7 @@ LOCAL_QUERIES = {
     "gopher_rules": q_gopher_rules,
     "corpus_funnel": q_corpus_funnel,
     "shuffle_shards": q_shuffle_shards,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -3186,4 +3229,5 @@ LOCAL_ORACLE_SQL = {
     "gopher_rules": _SQL_GOPHER_RULES,
     "corpus_funnel": _SQL_CORPUS_FUNNEL,
     "shuffle_shards": _SQL_SHUFFLE_SHARDS,
+    "tfidf_top_terms": _SQL_TFIDF,
 }

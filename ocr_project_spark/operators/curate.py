@@ -715,3 +715,90 @@ def clean_lines(
         F.size(kept).alias("n_lines_kept"),
         (F.size(kept) >= F.lit(min_lines)).alias("keep"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 1,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-k salient terms per document by smooth TF-IDF — the
+    term-weighting tier of the text-analysis suite (keyword extraction
+    / topic tagging before corpus mixing; the reference's per-result
+    word statistics, engine_manager.py:320-321, generalized to a
+    corpus-relative salience score).
+
+        idf  = ln((N + 1) / (df + 1)) + 1        (sklearn smooth idf)
+        score = tf * idf
+
+    Returns (doc_id, term, tf, df, tfidf, rank), rank 1..k per doc.
+
+    Cross-engine determinism: ``idf`` is rounded to 6 decimals BEFORE
+    the product, so the ranking key ``tf * idf`` is the same IEEE
+    double on Spark and any SQL oracle (integer x short-decimal
+    double; bare ``ln`` may differ by 1 ulp between libm builds);
+    score ties break on ``term`` ascending, so the top-k cut is
+    deterministic.
+
+    Shape: tokenize once in a projection, explode (narrow), count per
+    (doc, term) — a map-side-combining shuffle on balanced composite
+    keys; document frequency re-aggregates per term (vocabulary-scale
+    shuffle) and joins back term-keyed — the physical plan broadcasts
+    the vocabulary side (BuildRight BroadcastHashJoin).  N is a single
+    metadata-scale count() action — pass ``n_docs`` to skip it when
+    the caller already knows the corpus size (e.g. from checkpoint
+    metrics).  The top-k ranking runs as WindowGroupLimit: a partial
+    per-partition top-k BEFORE the doc_id exchange, so the final
+    window shuffle carries ≤ k rows per doc per task.
+
+    Two shapes deliberately rejected: (a) df via ``count() over
+    (partition by term)`` would save the join and the second scan but
+    buffers one window partition per term — a stopword like "the" has
+    ~N rows, an unbounded skew hazard the hash aggregate (partial
+    combine, no buffering) does not have; (b) persisting the
+    corpus-scale (doc, term) tf table to dedupe the shared subplan
+    trades a second columnar scan (cheap, pruned to two columns) for
+    materializing the largest intermediate in the query — at 10^12
+    docs the re-scan wins.  Spark inlines shared subplans, so the tf
+    aggregate is computed twice; both copies pipeline independently.
+    """
+    from ocr_project_spark.functions.text import word_tokens
+
+    if n_docs is None:
+        n_docs = docs.count()
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t")
+    )
+    # explode_outer + isNotNull, not plain explode: the optimizer
+    # would infer size>0 and duplicate the tokenize into a scan Filter
+    terms = t.select("doc_id", F.explode_outer("_t").alias("term")).where(
+        F.col("term").isNotNull()
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= F.lit(min_df))
+    )
+    idf = F.round(
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
+    )
+    s = tf.join(dfq, "term").select(
+        "doc_id", "term", "tf", "df", (F.col("tf") * idf).alias("_score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("_score").desc(), "term")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("_score"), 4).alias("tfidf"),
+            "rank",
+        )
+    )

@@ -678,3 +678,57 @@ def test_shuffle_shards_null_keys_and_guard(spark):
     assert p == [p[0], p[0] + 1]  # consecutive slots in the shard
     with _pytest.raises(ValueError):
         shuffle_shards(docs, 0)
+
+
+# ------------------------------------------------------------ tfidf
+def test_tfidf_top_terms_contract(spark):
+    from ocr_project_spark.operators.curate import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            # "alpha" appears in every doc (low idf); "zed"/"qux" are
+            # rare (high idf); d3 has a tf=3 term that must win
+            ("d1", "alpha alpha zed beta"),
+            ("d2", "alpha beta qux qux"),
+            ("d3", "alpha gamma gamma gamma zed"),
+            ("d4", None),  # null text: no terms, no rows, counts in N
+        ],
+        "doc_id string, text string",
+    )
+    out = tfidf_top_terms(docs, k=2, min_df=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # null-text doc emits nothing, others exactly k=2 (>=2 terms each)
+    assert set(by_doc) == {"d1", "d2", "d3"}
+    assert all(len(v) == 2 for v in by_doc.values())
+    # ranks are 1..k and scores non-increasing within a doc
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2]
+        assert rows[0].tfidf >= rows[1].tfidf
+    # tf=3 rare-ish term dominates its doc
+    assert by_doc["d3"][0].term == "gamma"
+    # deterministic tie-break: in d2, beta (df=3) loses to qux (tf=2);
+    # rank-2 is then alpha vs beta — equal tf=1, beta has smaller df
+    # (higher idf) so beta wins on score, not on the name tiebreak
+    assert by_doc["d2"][0].term == "qux"
+    assert by_doc["d2"][1].term == "beta"
+    # n_docs pass-through must reproduce the computed-N result exactly
+    out2 = tfidf_top_terms(docs, k=2, min_df=1, n_docs=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_tfidf_score_tie_breaks_on_term(spark):
+    from ocr_project_spark.operators.curate import tfidf_top_terms
+
+    # two terms with IDENTICAL (tf, df) in the same doc -> identical
+    # score doubles -> rank order must be term-ascending
+    docs = spark.createDataFrame(
+        [("d1", "zeta apple zeta apple"), ("d2", "zeta apple")],
+        "doc_id string, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2, min_df=1).where("doc_id = 'd1'").collect()
+    rows.sort(key=lambda r: r.rank)
+    assert [r.term for r in rows] == ["apple", "zeta"]
+    assert rows[0].tfidf == rows[1].tfidf
