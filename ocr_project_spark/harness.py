@@ -2283,6 +2283,61 @@ FROM r WHERE rank <= 3
 """.format(toks=_WORD_TOKS.format(c="text"))
 
 
+# --------------------------------------------------------------------
+# 32m. CROSS-corpus line dedup (operators/curate.py dedup_lines): the
+#      CCNet/RefinedWeb boilerplate-line pass.  The synthetic corpus is
+#      single-line, so the query first derives a line-structured column
+#      (every space in the first 80 chars becomes a newline — identical
+#      substring+replace on both engines); single-word lines repeat
+#      heavily across documents, so the >= 20-distinct-docs blocklist
+#      genuinely fires.  keep_first=True exercises the witness
+#      convention (each blocked line survives only in its min-id doc).
+# --------------------------------------------------------------------
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import dedup_lines
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 80), " ", "\n").alias("text"),
+    )
+    return dedup_lines(d, min_docs=20, keep_first=True)
+
+
+_SQL_DEDUP_LINES = """
+WITH d AS (SELECT doc_id,
+                  replace(substring(text, 1, 80), ' ', chr(10)) AS text
+           FROM documents),
+raw AS (SELECT doc_id,
+               list_transform(string_split(coalesce(text, ''), chr(10)),
+                              x -> trim(x)) AS ls
+        FROM d),
+l AS (SELECT doc_id, line, idx FROM (
+        SELECT doc_id, unnest(ls) AS line,
+               unnest(range(len(ls))) AS idx
+        FROM raw)
+      WHERE line IS NOT NULL AND line <> ''),
+freq AS (SELECT line, count(DISTINCT doc_id) AS df,
+                min(doc_id) AS first_doc
+         FROM l GROUP BY line),
+blk AS (SELECT line, first_doc FROM freq WHERE df >= 20),
+j AS (SELECT l.doc_id, l.idx, l.line,
+             (b.line IS NULL OR l.doc_id = b.first_doc) AS survives
+      FROM l LEFT JOIN blk b USING (line)),
+asm AS (SELECT doc_id,
+               string_agg(CASE WHEN survives THEN line END, chr(10)
+                          ORDER BY idx) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_lines_in,
+               CAST(count(CASE WHEN survives THEN 1 END) AS BIGINT)
+                 AS n_lines_kept
+        FROM j GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_lines_in, 0) AS n_lines_in,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept
+FROM documents d LEFT JOIN asm a USING (doc_id)
+"""
+
+
 _SQL_MIX_CORPUS = """
 WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
 w AS (SELECT d, CAST(w AS DOUBLE) AS w FROM (VALUES
@@ -3199,6 +3254,7 @@ LOCAL_QUERIES = {
     "corpus_funnel": q_corpus_funnel,
     "shuffle_shards": q_shuffle_shards,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "dedup_lines": q_dedup_lines,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -3230,4 +3286,5 @@ LOCAL_ORACLE_SQL = {
     "corpus_funnel": _SQL_CORPUS_FUNNEL,
     "shuffle_shards": _SQL_SHUFFLE_SHARDS,
     "tfidf_top_terms": _SQL_TFIDF,
+    "dedup_lines": _SQL_DEDUP_LINES,
 }

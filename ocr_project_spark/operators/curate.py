@@ -802,3 +802,103 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    keep_first: bool = False,
+    broadcast_blocklist: bool = True,
+) -> DataFrame:
+    """CROSS-corpus line-level dedup (the CCNet / RefinedWeb
+    boilerplate-line pass): a trimmed line that occurs in at least
+    ``min_docs`` DISTINCT documents is boilerplate (nav bars, cookie
+    banners, footers — the text that repeats across a site) and is
+    removed from every document; ``keep_first=True`` instead retains
+    each such line only in the smallest-id document that carries it
+    (the witness convention the dedup tiers use).
+
+    Completes the line-level story next to ``clean_lines``:
+    clean_lines judges each line on its OWN content (C4 rules);
+    dedup_lines judges it against the REST OF THE CORPUS.  Empty /
+    whitespace-only lines are dropped up front (they carry no signal
+    and would otherwise all collide into one global mega-group).
+
+    Scale shape (10^12 docs): posexplode lines (narrow) -> one
+    map-side-combining aggregate keyed by (line, doc) then line to get
+    the distinct-doc frequency -> the flagged blocklist is the
+    HEAVY-HITTER set (lines repeated across >= min_docs docs — tiny
+    next to the distinct-line universe) and is broadcast by default,
+    so the corpus side never shuffles for the match; set
+    ``broadcast_blocklist=False`` to fall back to a shuffled equi-join
+    when the blocklist itself is too large to broadcast.  Reassembly
+    is ONE doc_id shuffle: sort the surviving (idx, line) structs per
+    doc and rejoin with newlines.  No Python anywhere.
+
+    Returns (id_col, clean_text, n_lines_in, n_lines_kept) — one row
+    per input document, never dropped; ``clean_text`` is '' when
+    nothing survives.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    raw = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    lines = (
+        docs.select(F.col(id_col).alias("doc_id"), raw.alias("_ls"))
+        .select(
+            "doc_id",
+            F.posexplode_outer(F.col("_ls")).alias("idx", "_l"),
+        )
+        .select("doc_id", "idx", F.trim(F.col("_l")).alias("line"))
+        .where(F.col("line").isNotNull() & (F.col("line") != ""))
+    )
+    freq = lines.groupBy("line").agg(
+        F.count_distinct(F.col("doc_id")).alias("_df"),
+        F.min("doc_id").alias("_first_doc"),
+    )
+    block = freq.where(F.col("_df") >= F.lit(min_docs)).select(
+        "line", "_first_doc"
+    )
+    if broadcast_blocklist:
+        block = F.broadcast(block)
+    joined = lines.join(block, "line", "left")
+    if keep_first:
+        survives = F.col("_first_doc").isNull() | (
+            F.col("doc_id") == F.col("_first_doc")
+        )
+    else:
+        survives = F.col("_first_doc").isNull()
+    # ONE aggregate produces kept-text, kept-count and in-count
+    # together: collect_list skips the NULLs the `when` injects for
+    # blocked lines, so no second scan branch and no extra join —
+    # reassembly is the single doc_id shuffle.
+    asm = joined.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(survives, F.struct(F.col("idx"), F.col("line")))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_in"),
+        F.count(F.when(survives, F.lit(1))).alias("n_lines_kept"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(asm, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines_in"), F.lit(0)).cast("long").alias(
+                "n_lines_in"
+            ),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias(
+                "n_lines_kept"
+            ),
+        )
+    )

@@ -732,3 +732,65 @@ def test_tfidf_score_tie_breaks_on_term(spark):
     rows.sort(key=lambda r: r.rank)
     assert [r.term for r in rows] == ["apple", "zeta"]
     assert rows[0].tfidf == rows[1].tfidf
+
+
+def test_dedup_lines_cross_corpus(spark):
+    from ocr_project_spark.operators.curate import dedup_lines
+
+    # "shared footer" appears in docs 1,2,3 (>= min_docs=2 distinct
+    # docs); "unique one/two" appear once; doc 3 is ONLY boilerplate;
+    # doc 2 repeats the footer twice INSIDE itself (intra-doc repeats
+    # count one distinct doc but both occurrences are blocked)
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one.\nshared footer\nmiddle line one."),
+            (2, "shared footer\nunique two.\n  shared footer  "),
+            (3, "shared footer"),
+            (4, None),
+            (5, "   \n\n  "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "unique one.\nmiddle line one."
+    assert out[1]["n_lines_in"] == 3 and out[1]["n_lines_kept"] == 2
+    # trimming: "  shared footer  " matches the blocklist too
+    assert out[2]["clean_text"] == "unique two."
+    assert out[2]["n_lines_in"] == 3 and out[2]["n_lines_kept"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_kept"] == 0
+    # null / whitespace-only docs: never-fail zero rows
+    for i in (4, 5):
+        assert out[i]["clean_text"] == ""
+        assert out[i]["n_lines_in"] == 0 and out[i]["n_lines_kept"] == 0
+
+
+def test_dedup_lines_keep_first_and_shuffled_join(spark):
+    from ocr_project_spark.operators.curate import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (10, "common line\nalpha."),
+            (20, "common line\nbeta."),
+            (30, "gamma.\ncommon line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(docs, min_docs=2, keep_first=True).collect()
+    }
+    # witness convention: the min-id doc retains the blocked line
+    assert out[10]["clean_text"] == "common line\nalpha."
+    assert out[20]["clean_text"] == "beta."
+    assert out[30]["clean_text"] == "gamma."
+    # the shuffled-join fallback is row-identical to the broadcast path
+    a = sorted(map(tuple, dedup_lines(docs, min_docs=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup_lines(docs, min_docs=2, broadcast_blocklist=False).collect(),
+        )
+    )
+    assert a == b
+    with __import__("pytest").raises(ValueError):
+        dedup_lines(docs, min_docs=1)
