@@ -2338,6 +2338,56 @@ FROM documents d LEFT JOIN asm a USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------
+# 32o. LM perplexity scoring (operators/curate.py lm_score): the
+#      CCNet perplexity-filter stage — corpus-trained bigram LM with
+#      add-1/2 smoothing, per-doc average negative log-likelihood,
+#      head/middle/tail banding at explicit cutoffs.  The oracle
+#      replays the exact determinism ladder: round-6 per-addend ln,
+#      round-4 mean, ppl/band computed FROM the rounded mean.
+# --------------------------------------------------------------------
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import lm_score
+
+    return lm_score(
+        T(spark, sf_dir, "documents"), cutoffs=(3.4, 3.5)
+    ).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "avg_nll",
+        "ppl",
+        "band",
+    )
+
+
+_SQL_LM_PPL = """
+WITH tok AS (SELECT doc_id, unnest({toks}) AS w,
+                    generate_subscripts({toks}, 1) AS pos
+             FROM documents),
+bg AS (SELECT doc_id, w AS w1,
+              lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       FROM tok),
+bgf AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bgf GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS v FROM tok),
+sc AS (SELECT b.doc_id,
+              round(-ln((coalesce(c2.c2, 0) + 0.5)
+                        / (coalesce(c1.c1, 0) + 0.5 * v.v)), 6) AS nll
+       FROM bgf b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+       CROSS JOIN v),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(sum(nll) / count(*), 4) AS avg_nll
+        FROM sc GROUP BY doc_id)
+SELECT doc_id, n_bigrams, avg_nll,
+       round(exp(avg_nll), 4) AS ppl,
+       CASE WHEN avg_nll <= 3.4 THEN 'head'
+            WHEN avg_nll <= 3.5 THEN 'middle'
+            ELSE 'tail' END AS band
+FROM agg
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
 _SQL_MIX_CORPUS = """
 WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
 w AS (SELECT d, CAST(w AS DOUBLE) AS w FROM (VALUES
@@ -3255,6 +3305,7 @@ LOCAL_QUERIES = {
     "shuffle_shards": q_shuffle_shards,
     "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_lines": q_dedup_lines,
+    "lm_perplexity": q_lm_perplexity,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -3287,4 +3338,5 @@ LOCAL_ORACLE_SQL = {
     "shuffle_shards": _SQL_SHUFFLE_SHARDS,
     "tfidf_top_terms": _SQL_TFIDF,
     "dedup_lines": _SQL_DEDUP_LINES,
+    "lm_perplexity": _SQL_LM_PPL,
 }

@@ -902,3 +902,146 @@ def dedup_lines(
             ),
         )
     )
+
+
+def _bigram_stream(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent word-token pair.
+
+    Narrow: tokenize once in a projection, build the pair array with
+    zip_with over two slices (no window, no self-join), explode_outer
+    + isNotNull so the optimizer cannot infer a size()>0 filter that
+    would duplicate the tokenize into the scan (see BASELINE.md
+    round-3 plan fixes).  Documents with < 2 tokens contribute no
+    rows (their NULL pair array explodes to one null row, filtered).
+    """
+    from ocr_project_spark.functions.text import word_tokens
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_tokens(F.col(text_col)).alias("_t"),
+    )
+    n = F.size(F.col("_t"))
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("_t"), 1, n - 1),
+            F.slice(F.col("_t"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    )
+    return (
+        t.select("doc_id", F.explode_outer(pairs).alias("_p"))
+        .where(F.col("_p").isNotNull())
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_docs: DataFrame | None = None,
+    k: float = 0.5,
+    min_count: int = 1,
+    vocab_size: int | None = None,
+    cutoffs: tuple[float, float] | None = None,
+) -> DataFrame:
+    """CCNet-style n-gram language-model perplexity scoring.
+
+    The perplexity-filtering stage of a pretraining-data pipeline
+    (CCNet, Wenzek et al. 2020; reused by LLaMA data prep): train a
+    bigram LM with add-k smoothing on ``train_docs`` (defaults to
+    ``docs`` itself — corpus self-scoring), score every document by
+    its average per-token negative log-likelihood, and optionally band
+    documents head/middle/tail by explicit ``cutoffs`` — CCNet derives
+    the two thresholds from a calibration run's percentiles; here they
+    are passed in so the banding CASE is deterministic and
+    oracle-portable.  Reference parity: this is the corpus-scale
+    analog of the reference's per-result confidence gate
+    (/root/reference/src/advanced_ocr/core/results.py
+    filter_by_confidence) with a learned, corpus-relative score in
+    place of the engine-reported confidence.
+
+        P(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V)
+        avg_nll(d) = mean over d's bigram positions of -ln P
+        ppl(d)     = exp(avg_nll)
+
+    Returns (doc_id, n_bigrams, avg_nll, ppl[, band]); documents with
+    fewer than 2 tokens produce no row (compose with a left join +
+    coalesce for a keep-all variant).
+
+    Cross-engine determinism (the same ladder tfidf_top_terms uses):
+    ``k`` defaults to 0.5 so numerator and denominator stay exactly
+    representable (integer + half); the single division of identical
+    doubles is correctly rounded hence identical IEEE; each addend's
+    ``ln`` is rounded to 6 decimals BEFORE the sum (bare libm ln may
+    differ by 1 ulp between engines); the mean is rounded to 4 and
+    ``ppl``/``band`` are computed FROM the rounded mean.
+
+    Shape at scale: the two training aggregates are map-side-combining
+    shuffles on (w1,w2) / (w1) — vocabulary-scale outputs, corpus-scale
+    inputs.  Scoring left-joins the bigram stream against the counts:
+    the unigram-context side is explicitly broadcast (bounded by
+    vocabulary); the bigram side is a shuffle join sized by AQE —
+    at web scale prune it with ``min_count`` (hapax bigrams are the
+    long tail of the table and the smoothing fallback covers them:
+    an unseen pair scores (k)/(c1 + k·V), an unseen context 1/V).
+    Context counts c(w1) aggregate BEFORE min_count pruning so the
+    denominator keeps the true context mass.  V is one scalar action
+    (distinct-token count over the training stream) — pass
+    ``vocab_size`` to skip it, e.g. from
+    functions.text.distinct_token_count(approximate=True) at corpus
+    scale.  Train-vs-score split (CCNet trains on Wikipedia, scores
+    the crawl) is ``train_docs``; unseen-pair/-context fallbacks are
+    exactly the coalesce(…, 0) branches, so a held-out corpus scores
+    without any join loss.
+    """
+    from ocr_project_spark.functions.text import word_tokens
+
+    train = train_docs if train_docs is not None else docs
+    tb = _bigram_stream(train, id_col, text_col)
+    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    if min_count > 1:
+        c2 = c2.where(F.col("_c2") >= F.lit(min_count))
+    c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    if vocab_size is None:
+        vocab_size = (
+            train.select(
+                F.explode_outer(word_tokens(F.col(text_col))).alias("_w")
+            )
+            .where(F.col("_w").isNotNull())
+            .select("_w")
+            .distinct()
+            .count()
+        )
+
+    sb = _bigram_stream(docs, id_col, text_col)
+    p = (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(float(k))) / (
+        F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(float(k)) * F.lit(float(vocab_size))
+    )
+    scored = (
+        sb.join(c2, ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .select("doc_id", F.round(-F.log(p), 6).alias("_nll"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("_nll") / F.count(F.lit(1)), 4).alias("avg_nll"),
+    )
+    out = agg.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_nll",
+        F.round(F.exp(F.col("avg_nll")), 4).alias("ppl"),
+    )
+    if cutoffs is not None:
+        t1, t2 = cutoffs
+        out = out.withColumn(
+            "band",
+            F.when(F.col("avg_nll") <= F.lit(float(t1)), F.lit("head"))
+            .when(F.col("avg_nll") <= F.lit(float(t2)), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    return out

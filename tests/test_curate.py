@@ -794,3 +794,86 @@ def test_dedup_lines_keep_first_and_shuffled_join(spark):
     assert a == b
     with __import__("pytest").raises(ValueError):
         dedup_lines(docs, min_docs=1)
+
+
+# ------------------------------------------------------------ lm_score
+def test_lm_score_hand_computed(spark):
+    import math
+
+    from ocr_project_spark.operators.curate import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran"), (3, "zz"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in lm_score(docs, cutoffs=(1.0, 2.0)).collect()}
+    # <2-token and null docs produce no row
+    assert set(rows) == {1, 2}
+    # corpus bigram counts: c2(the,cat)=2, c2(cat,ran)=1; contexts
+    # c1(the)=3, c1(cat)=2; V=7 distinct tokens
+    p1 = (2 + 0.5) / (3 + 0.5 * 7)
+    p2 = (1 + 0.5) / (2 + 0.5 * 7)
+    nll = round((round(-math.log(p1), 6) + round(-math.log(p2), 6)) / 2, 4)
+    r2 = rows[2]
+    assert r2.n_bigrams == 2
+    assert r2.avg_nll == pytest.approx(nll, abs=1e-9)
+    assert r2.ppl == pytest.approx(round(math.exp(nll), 4), abs=1e-9)
+    assert r2.band == ("head" if nll <= 1.0 else "middle" if nll <= 2.0 else "tail")
+
+
+def test_lm_score_train_split_unseen_fallbacks(spark):
+    import math
+
+    from ocr_project_spark.operators.curate import lm_score
+
+    train = spark.createDataFrame(
+        [(10, "alpha beta gamma alpha beta")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        # (alpha, beta) seen; (beta, zeta) unseen pair with seen context;
+        # (zeta, eta) unseen context entirely
+        [(20, "alpha beta zeta eta")],
+        "doc_id long, text string",
+    )
+    out = lm_score(score, train_docs=train).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_bigrams == 3
+    V = 3  # train vocabulary: alpha beta gamma
+    # train bigrams: (alpha,beta)x2 (beta,gamma) (gamma,alpha)
+    p_seen = (2 + 0.5) / (2 + 0.5 * V)     # c2=2, c1(alpha)=2
+    p_pair = (0 + 0.5) / (1 + 0.5 * V)     # unseen pair, c1(beta)=1
+    p_ctx = (0 + 0.5) / (0 + 0.5 * V)      # unseen context -> 1/V
+    exp = round(
+        sum(round(-math.log(p), 6) for p in (p_seen, p_pair, p_ctx)) / 3, 4
+    )
+    assert r.avg_nll == pytest.approx(exp, abs=1e-9)
+    # no band column when cutoffs omitted
+    assert "band" not in out[0].asDict()
+
+
+def test_lm_score_min_count_prunes_to_smoothing_floor(spark):
+    from ocr_project_spark.operators.curate import lm_score
+
+    docs = spark.createDataFrame(
+        # doc 1's bigrams (a,b)x2 and (b,a)x2 all reach min_count=2;
+        # doc 2's (c,d) is hapax and gets pruned
+        [(1, "a b a b a"), (2, "c d")], "doc_id long, text string"
+    )
+    full = {r.doc_id: r.avg_nll for r in lm_score(docs).collect()}
+    pruned = {r.doc_id: r.avg_nll for r in lm_score(docs, min_count=2).collect()}
+    # every doc-1 bigram survives pruning -> score unchanged
+    assert pruned[1] == full[1]
+    # (c,d) pruned -> doc 2 falls to the unseen-pair smoothing floor
+    assert pruned[2] > full[2]
+
+
+def test_lm_score_vocab_size_passthrough(spark):
+    from ocr_project_spark.operators.curate import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "u v w u v"), (2, "w u")], "doc_id long, text string"
+    )
+    auto = sorted(lm_score(docs).collect())
+    pinned = sorted(lm_score(docs, vocab_size=3).collect())
+    assert auto == pinned
