@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "quality_scores",
     "error_rows",
+    "lm_perplexity",
+    "bm25_topk",
 ]
 
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -2388,6 +2388,65 @@ FROM agg
 """.format(toks=_WORD_TOKS.format(c="text"))
 
 
+# --------------------------------------------------------------------
+# 32p. BM25 lexical retrieval (operators/similarity.py bm25_topk):
+#      rank documents against a fixed query set — the lexical
+#      complement of the embedding ANN tiers, used for targeted
+#      pretraining-data selection.  The oracle replays the scoring
+#      arithmetic op-for-op (same association order) with the idf ln
+#      rounded to 6 and the per-pair sum rounded to 4 before ranking.
+# --------------------------------------------------------------------
+_BM25_QUERIES = [
+    (0, "hash join merge"),
+    (1, "window sort order"),
+    (2, "customer query stream"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.similarity import bm25_topk
+
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    return bm25_topk(
+        T(spark, sf_dir, "documents"), q, top_n=5
+    ).select(
+        "query_id",
+        "doc_id",
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_SQL_BM25 = """
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS (SELECT * FROM (VALUES (0, 'hash join merge'), (1, 'window sort order'),
+                            (2, 'customer query stream')) AS t(query_id, qtext)),
+qt AS (SELECT DISTINCT query_id, unnest({qtoks}) AS term FROM q),
+m AS (SELECT qt.query_id, tf.doc_id,
+             round(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * ((1.0 - 0.75)
+                + (0.75 * d.dl) / (CAST(s.sdl AS DOUBLE) / s.n))) AS part
+      FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+      JOIN dl d ON tf.doc_id = d.doc_id CROSS JOIN stats s),
+sc AS (SELECT query_id, doc_id, round(sum(part), 4) AS score
+       FROM m GROUP BY query_id, doc_id),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM sc)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+""".format(
+    toks=_WORD_TOKS.format(c="text"), qtoks=_WORD_TOKS.format(c="qtext")
+)
+
+
 _SQL_MIX_CORPUS = """
 WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
 w AS (SELECT d, CAST(w AS DOUBLE) AS w FROM (VALUES
@@ -3306,6 +3365,7 @@ LOCAL_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_lines": q_dedup_lines,
     "lm_perplexity": q_lm_perplexity,
+    "bm25_topk": q_bm25_topk,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -3339,4 +3399,5 @@ LOCAL_ORACLE_SQL = {
     "tfidf_top_terms": _SQL_TFIDF,
     "dedup_lines": _SQL_DEDUP_LINES,
     "lm_perplexity": _SQL_LM_PPL,
+    "bm25_topk": _SQL_BM25,
 }

@@ -644,3 +644,118 @@ def semdedup(
         .select("id", "cluster", F.lit(False).alias("keep"))
     )
     return rep_out.unionByName(member_out).withColumnRenamed("id", id_col)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """BM25 lexical top-k retrieval: rank documents against a query set.
+
+    The lexical complement of the embedding ANN tiers (cosine_topk /
+    knn_join) — the retrieval primitive behind targeted pretraining-
+    data selection (select corpus documents most similar to a benchmark
+    or domain seed set) and behind the decontaminate operator's
+    "which doc matched" follow-up.  Standard Okapi/Lucene scoring over
+    DISTINCT query terms (query-side term frequency ignored, as Lucene
+    does):
+
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))   (>= 0)
+        score(q, d) = sum_t idf(t) * tf * (k1+1)
+                      / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    Returns (query_id, doc_id, score, rank), rank 1..top_n per query
+    by score descending, ties broken on doc_id ascending.
+
+    Cross-engine determinism (the lm_score ladder): idf is rounded to
+    6 decimals before the product (bare libm ln); every other factor
+    is a chain of identical-input IEEE ops (k1/b exactly representable,
+    avgdl = integer token sum / integer N computed once driver-side);
+    the per-(query, doc) sum is rounded to 4 BEFORE the ranking window
+    so the top-n cut compares identical doubles.
+
+    Shape at scale: the postings build is one map-side-combining
+    shuffle on (doc_id, term); document length rides in the aggregate
+    (max of a per-doc constant) so no extra join.  df re-aggregates
+    per term and joins back term-keyed — vocabulary-scale, broadcast
+    by AQE; ``min_df`` prunes the hapax tail of the df table exactly
+    like lm_score's bigram pruning.  The DISTINCT query-term set is
+    explicitly broadcast (queries are the small side by construction),
+    so the corpus-side postings never shuffle for the match — the only
+    corpus-sized exchange after the postings build is the final
+    (query_id, doc_id) score aggregation, bounded by matched postings,
+    and the per-query top-n runs as WindowGroupLimit (partial top-n
+    per partition before the query_id exchange).  N and the token-sum
+    for avgdl are one scalar action over the doc-length projection.
+    """
+    from pyspark.sql import Window
+
+    from ocr_project_spark.functions.text import word_tokens
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_tokens(F.col(text_col)).alias("_t"),
+    ).select("doc_id", "_t", F.size("_t").alias("dl"))
+
+    stats = t.select(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+    ).collect()[0]
+    n_docs, sum_dl = stats["n"], stats["sdl"] or 0
+    avgdl = (float(sum_dl) / float(n_docs)) if n_docs else 1.0
+
+    terms = t.select(
+        "doc_id", "dl", F.explode_outer("_t").alias("term")
+    ).where(F.col("term").isNotNull())
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfq = dfq.where(F.col("df") >= F.lit(min_df))
+
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode_outer(word_tokens(F.col(query_text_col))).alias("term"),
+        )
+        .where(F.col("term").isNotNull())
+        .distinct()
+    )
+
+    idf = F.round(
+        F.log(
+            1.0
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        6,
+    )
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dl") / F.lit(float(avgdl))
+    )
+    part = idf * F.col("tf") * F.lit(float(k1) + 1.0) / (F.col("tf") + norm)
+
+    matched = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dfq, "term")
+        .select("query_id", "doc_id", part.alias("_part"))
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_part"), 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(top_n))
+        .select("query_id", "doc_id", "score", "rank")
+    )

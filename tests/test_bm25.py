@@ -1,0 +1,87 @@
+"""bm25_topk: hand-computed Okapi/Lucene scoring, ranking contract,
+min_df pruning, and query-term-miss behavior."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ocr_project_spark.operators.similarity import bm25_topk
+
+DOCS = [
+    (1, "apple banana apple"),
+    (2, "banana cherry"),
+    (3, "cherry cherry cherry cherry"),
+]
+
+
+def _score(pairs, n_docs, avgdl, k1=1.2, b=0.75):
+    """Reference scoring: pairs = [(tf, df, dl), ...] per matched term."""
+    total = 0.0
+    for tf, df, dl in pairs:
+        idf = round(math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+        norm = k1 * ((1.0 - b) + (b * dl) / avgdl)
+        total += idf * tf * (k1 + 1.0) / (tf + norm)
+    return round(total, 4)
+
+
+def test_bm25_hand_computed(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(0, "apple cherry")], "query_id long, query_text string"
+    )
+    rows = {r.doc_id: r for r in bm25_topk(docs, q).collect()}
+    # N=3 docs, dl = 3/2/4, avgdl = 3
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].score == pytest.approx(_score([(2, 1, 3)], 3, 3.0), abs=1e-9)
+    assert rows[2].score == pytest.approx(_score([(1, 2, 2)], 3, 3.0), abs=1e-9)
+    assert rows[3].score == pytest.approx(_score([(4, 2, 4)], 3, 3.0), abs=1e-9)
+    # rank is dense 1..n by score desc
+    by_rank = sorted(rows.values(), key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == [1, 2, 3]
+    assert by_rank[0].score >= by_rank[1].score >= by_rank[2].score
+
+
+def test_bm25_top_n_cut_and_multi_query(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(0, "cherry"), (1, "banana")], "query_id long, query_text string"
+    )
+    out = bm25_topk(docs, q, top_n=1).collect()
+    best = {r.query_id: r.doc_id for r in out}
+    assert len(out) == 2
+    # cherry: d3 (tf=4) beats d2 (tf=1); banana: equal tf=1 but shorter
+    # d2 (dl=2) outranks d1 (dl=3) on length normalization
+    assert best[0] == 3
+    assert best[1] == 2
+
+
+def test_bm25_repeated_query_terms_ignored(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q1 = spark.createDataFrame(
+        [(0, "apple apple apple")], "query_id long, query_text string"
+    )
+    q2 = spark.createDataFrame([(0, "apple")], "query_id long, query_text string")
+    a = sorted((r.doc_id, r.score) for r in bm25_topk(docs, q1).collect())
+    b = sorted((r.doc_id, r.score) for r in bm25_topk(docs, q2).collect())
+    assert a == b
+
+
+def test_bm25_min_df_prunes_rare_terms(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(0, "apple cherry")], "query_id long, query_text string"
+    )
+    pruned = {r.doc_id: r.score for r in bm25_topk(docs, q, min_df=2).collect()}
+    # apple (df=1) is pruned entirely -> d1 gets no score row
+    assert set(pruned) == {2, 3}
+    assert pruned[3] == pytest.approx(_score([(4, 2, 4)], 3, 3.0), abs=1e-9)
+
+
+def test_bm25_unmatched_query_yields_no_rows(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(0, "zzz qqq"), (1, None)], "query_id long, query_text string"
+    )
+    assert bm25_topk(docs, q).count() == 0
