@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "error_rows",
     "lm_perplexity",
     "bm25_topk",
+    "dsir_weights",
 ]
 
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -2447,6 +2447,54 @@ FROM r WHERE rank <= 5
 )
 
 
+# --------------------------------------------------------------------
+# 32q. DSIR importance weights (operators/curate.py dsir_weights):
+#      hashed-bigram importance resampling weights — target = the
+#      corpus's English slice, raw = the whole corpus, so log_w
+#      upweights documents whose hashed bigrams look English.  The
+#      oracle replays the md5 bucket arithmetic and the round-6
+#      per-bucket ln difference / round-4 per-doc sum exactly.
+# --------------------------------------------------------------------
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import dsir_weights
+
+    d = T(spark, sf_dir, "documents")
+    return dsir_weights(d, d.where(F.col("lang") == "en"), n_buckets=512)
+
+
+_SQL_DSIR = """
+WITH tok AS (SELECT doc_id, lang, unnest({toks}) AS w,
+                    generate_subscripts({toks}, 1) AS pos
+             FROM documents),
+bg AS (SELECT doc_id, lang, w AS w1,
+              lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       FROM tok),
+feat AS (SELECT doc_id, lang,
+                CAST(CAST(('0x' || substring(md5(w1 || '|' || w2), 1, 8))
+                          AS UBIGINT) % 512 AS BIGINT) AS bucket
+         FROM bg WHERE w2 IS NOT NULL),
+ct AS (SELECT bucket, count(*) AS ct FROM feat WHERE lang = 'en'
+       GROUP BY bucket),
+cr AS (SELECT bucket, count(*) AS cr FROM feat GROUP BY bucket),
+ns AS (SELECT (SELECT count(*) FROM feat WHERE lang = 'en') AS nt,
+              (SELECT count(*) FROM feat) AS nr),
+ratio AS (SELECT bucket,
+                 round(ln((coalesce(ct, 0) + 0.5) / (ns.nt + 0.5 * 512)), 6)
+                 - round(ln((coalesce(cr, 0) + 0.5) / (ns.nr + 0.5 * 512)), 6)
+                   AS lr
+          FROM cr FULL OUTER JOIN ct USING (bucket) CROSS JOIN ns),
+per AS (SELECT f.doc_id, f.bucket, count(*) AS c
+        FROM feat f GROUP BY f.doc_id, f.bucket),
+agg AS (SELECT per.doc_id, CAST(sum(per.c) AS BIGINT) AS n_feats,
+               round(sum(per.c * r.lr), 4) AS log_w
+        FROM per JOIN ratio r USING (bucket) GROUP BY per.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
+       coalesce(a.log_w, 0.0) AS log_w
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
 _SQL_MIX_CORPUS = """
 WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
 w AS (SELECT d, CAST(w AS DOUBLE) AS w FROM (VALUES
@@ -3366,6 +3414,7 @@ LOCAL_QUERIES = {
     "dedup_lines": q_dedup_lines,
     "lm_perplexity": q_lm_perplexity,
     "bm25_topk": q_bm25_topk,
+    "dsir_weights": q_dsir_weights,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -3400,4 +3449,5 @@ LOCAL_ORACLE_SQL = {
     "dedup_lines": _SQL_DEDUP_LINES,
     "lm_perplexity": _SQL_LM_PPL,
     "bm25_topk": _SQL_BM25,
+    "dsir_weights": _SQL_DSIR,
 }

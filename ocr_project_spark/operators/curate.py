@@ -1045,3 +1045,159 @@ def lm_score(
             .otherwise(F.lit("tail")),
         )
     return out
+
+
+def _hashed_bigram_buckets(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, bucket) — one row per word-bigram position, bucketed
+    by the first 8 md5 hex digits of 'w1|w2' mod n_buckets (the same
+    engine-portable integer-hash idiom as shuffle_shards/hash_sample;
+    word tokens are [a-z0-9]+ so '|' cannot collide)."""
+    b = _bigram_stream(docs, id_col, text_col)
+    digest = F.md5(F.concat_ws("|", F.col("w1"), F.col("w2")))
+    return b.select(
+        "doc_id",
+        (
+            F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets)
+        ).alias("bucket"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    k: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection with
+    Importance Resampling): score every raw document by how much more
+    likely its hashed n-gram features are under a TARGET corpus (the
+    domain you want more of — a benchmark seed set, curated text) than
+    under the raw corpus itself.
+
+        p_t(f) = (c_target(f) + k) / (N_target + k·B)
+        p_r(f) = (c_raw(f)    + k) / (N_raw    + k·B)
+        log_w(d) = sum over d's bigram positions of
+                   [ln p_t(f) - ln p_r(f)]
+
+    Features are word bigrams hashed into ``n_buckets`` buckets (the
+    paper's hashed n-gram estimator — bucketing bounds both count
+    tables at B rows regardless of corpus size).  Returns
+    (doc_id, n_feats, log_w) for EVERY input document — a doc with
+    < 2 tokens has no features, an empty product, log_w = 0 — so a
+    downstream sampler never silently drops rows.
+
+    Cross-engine determinism: the bucket hash is exact integer md5
+    arithmetic; both per-bucket ``ln`` terms are rounded to 6 decimals
+    before their difference; the per-doc sum is rounded to 4.
+    ``k`` = 0.5 keeps every ratio's numerator/denominator exactly
+    representable.
+
+    Shape at scale: two feature streams (narrow tokenize + explode),
+    two B-bounded hash aggregates for the count tables, one B-bounded
+    join to form the per-bucket log-ratio, then the scoring pass
+    re-aggregates the raw stream per (doc, bucket) and joins the
+    ratio table BROADCAST (≤ n_buckets rows by construction) — the
+    only corpus-scale exchange is the final per-doc sum, keyed by
+    doc_id.  N_target/N_raw are one scalar action each.
+    """
+    tgt = _hashed_bigram_buckets(target_docs, id_col, text_col, n_buckets)
+    raw = _hashed_bigram_buckets(docs, id_col, text_col, n_buckets)
+    ct = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
+    cr = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr"))
+    n_t = tgt.count()
+    n_r = raw.count()
+
+    kf = float(k)
+    denom_t = float(n_t) + kf * float(n_buckets)
+    denom_r = float(n_r) + kf * float(n_buckets)
+    ratio = (
+        cr.join(ct, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(kf))
+                        / F.lit(denom_t)
+                    ),
+                    6,
+                )
+                - F.round(
+                    F.log(
+                        (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(kf))
+                        / F.lit(denom_r)
+                    ),
+                    6,
+                )
+            ).alias("_lr"),
+        )
+    )
+
+    per_doc = (
+        raw.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("n_feats"),
+            F.round(F.sum(F.col("_c") * F.col("_lr")), 4).alias("log_w"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
+        )
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    k: float = 0.5,
+    seed: str = "",
+) -> DataFrame:
+    """DSIR selection: draw ``n`` documents without replacement with
+    probability proportional to their importance weight, via the
+    Gumbel top-k trick the paper uses — key = log_w + Gumbel noise,
+    take the n largest keys.  The noise is derived from a content
+    hash, so the sample is reproducible across runs, cluster sizes
+    and repartitionings, and a different ``seed`` draws an
+    independent sample (same convention as hash_sample /
+    shuffle_shards):
+
+        u = (int(first 8 md5 hex digits of (seed|doc_id)) + 0.5) / 2^32
+        g = -ln(-ln(u))            (standard Gumbel)
+        key = log_w + g
+
+    Returns (doc_id, log_w, key) for the selected documents.
+    Determinism: u is exactly representable (32-bit integer + 0.5,
+    divided by a power of two); ``g`` is rounded to 6 decimals; the
+    final key is one addition of identical doubles.  The top-n is a
+    global TakeOrderedAndProject (per-partition partial top-n, no full
+    sort), ties broken on doc_id.
+    """
+    w = dsir_weights(docs, target_docs, id_col, text_col, n_buckets, k)
+    key_str = F.coalesce(F.col("doc_id").cast("string"), F.lit("\x00<null-key>"))
+    prefix = f"{seed}|" if seed else ""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), key_str)), 1, 8), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**32))
+    g = F.round(-F.log(-F.log(u)), 6)
+    keyed = w.select(
+        "doc_id", "log_w", (F.col("log_w") + g).alias("key")
+    )
+    return keyed.orderBy(F.col("key").desc(), F.col("doc_id")).limit(n)

@@ -877,3 +877,96 @@ def test_lm_score_vocab_size_passthrough(spark):
     auto = sorted(lm_score(docs).collect())
     pinned = sorted(lm_score(docs, vocab_size=3).collect())
     assert auto == pinned
+
+
+# ------------------------------------------------------------ dsir
+def _dsir_reference(raw_texts, tgt_texts, n_buckets, k=0.5):
+    """Pure-python replica of dsir_weights for tiny corpora."""
+    import hashlib
+    import math
+    import re
+
+    def feats(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+        out = []
+        for a, b in zip(toks, toks[1:]):
+            h = hashlib.md5(f"{a}|{b}".encode()).hexdigest()[:8]
+            out.append(int(h, 16) % n_buckets)
+        return out
+
+    ct, cr = {}, {}
+    nt = nr = 0
+    for t in tgt_texts:
+        for f in feats(t):
+            ct[f] = ct.get(f, 0) + 1
+            nt += 1
+    raw_feats = {i: feats(t) for i, t in raw_texts}
+    for fs in raw_feats.values():
+        for f in fs:
+            cr[f] = cr.get(f, 0) + 1
+            nr += 1
+    out = {}
+    for i, fs in raw_feats.items():
+        s = 0.0
+        for f in fs:
+            s += round(
+                math.log((ct.get(f, 0) + k) / (nt + k * n_buckets)), 6
+            ) - round(math.log((cr.get(f, 0) + k) / (nr + k * n_buckets)), 6)
+        out[i] = (len(fs), round(s, 4))
+    return out
+
+
+def test_dsir_weights_match_reference_and_keep_all(spark):
+    from ocr_project_spark.operators.curate import dsir_weights
+
+    raw_rows = [
+        (1, "alpha beta alpha beta gamma"),
+        (2, "delta epsilon delta"),
+        (3, "alpha beta"),
+        (4, "qq"),
+        (5, None),
+    ]
+    tgt_rows = [(100, "alpha beta alpha"), (101, "beta gamma")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_feats, r.log_w)
+        for r in dsir_weights(raw, tgt, n_buckets=32).collect()
+    }
+    exp = _dsir_reference(
+        [(i, t) for i, t in raw_rows], [t for _, t in tgt_rows], 32
+    )
+    for i in (1, 2, 3):
+        assert got[i][0] == exp[i][0]
+        assert got[i][1] == pytest.approx(exp[i][1], abs=1e-9)
+    # keep-all: featureless docs present with the empty-product weight
+    assert got[4] == (0, 0.0)
+    assert got[5] == (0, 0.0)
+    # directionality: target-like docs outweigh off-target docs
+    assert got[1][1] > got[2][1]
+    assert got[3][1] > got[2][1]
+
+
+def test_dsir_sample_deterministic_and_seeded(spark):
+    from ocr_project_spark.operators.curate import dsir_sample
+
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta tok{i} gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    a = [(r.doc_id, r.key) for r in dsir_sample(raw, tgt, 5, n_buckets=64).collect()]
+    b = [(r.doc_id, r.key) for r in dsir_sample(raw, tgt, 5, n_buckets=64).collect()]
+    assert a == b
+    assert len(a) == 5
+    # keys arrive ranked descending
+    assert [k for _, k in a] == sorted((k for _, k in a), reverse=True)
+    c = {
+        r.doc_id
+        for r in dsir_sample(raw, tgt, 5, n_buckets=64, seed="ep1").collect()
+    }
+    # a different seed draws an independent permutation; with 20 docs
+    # choose 5 the two samples are overwhelmingly unlikely to coincide
+    assert c != {i for i, _ in a}
