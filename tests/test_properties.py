@@ -229,3 +229,33 @@ def test_fuse_with_retry_conserves_keys(cand_rows, retry_rows):
         elif r["method"].startswith("retry_"):
             # a retry win implies retry rows existed for the key
             assert k in retry_keys
+
+
+def test_corpus_scorers_invariant_to_partition_count(spark):
+    """lm_score / bm25_topk / dsir_weights round their float
+    aggregates BEFORE any ranking or comparison, so the emitted rows
+    must be identical under different parallelism — the property that
+    makes the scores trustworthy across cluster sizes."""
+    from ocr_project_spark.operators.curate import dsir_weights, lm_score
+    from ocr_project_spark.operators.similarity import bm25_topk
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    q = spark.createDataFrame(
+        [(0, "table scan hash"), (1, "window sort")],
+        "query_id long, query_text string",
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for build in (
+        lambda d: lm_score(d, cutoffs=(3.4, 3.5)),
+        lambda d: bm25_topk(d, q, top_n=5),
+        lambda d: dsir_weights(d, d.where("lang = 'en'"), n_buckets=128),
+    ):
+        a = rows(build(docs.repartition(1)))
+        b = rows(build(docs.repartition(16)))
+        assert a == b
+        assert len(a) > 0
