@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "bm25_topk",
     "dsir_weights",
+    "scrub_passages",
 ]
 
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

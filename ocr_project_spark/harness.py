@@ -2495,6 +2495,48 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """.format(toks=_WORD_TOKS.format(c="text"))
 
 
+# --------------------------------------------------------------------
+# 32r. Exact-substring passage scrub (operators/dedup.py
+#      scrub_passages): the removal half of the Lee et al. duplicated-
+#      passage tier — every word 5-gram shared by >= 2 documents is
+#      cut from all but its min-id witness document.  Pure string and
+#      integer arithmetic, so the oracle needs no float ladder; the
+#      DuckDB side replays the window positions, the witness rule, and
+#      the covered-token filter with list lambdas.
+# --------------------------------------------------------------------
+def q_scrub_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.dedup import scrub_passages
+
+    return scrub_passages(T(spark, sf_dir, "documents"), n=5, min_docs=2)
+
+
+_SQL_SCRUB_PASSAGES = """
+WITH t AS (SELECT doc_id, {toks} AS t FROM documents),
+win AS (SELECT doc_id, u.i - 1 AS pos,
+               array_to_string(t[u.i : u.i + 4], ' ') AS passage
+        FROM t, UNNEST(CASE WHEN len(t) >= 5
+                       THEN generate_series(1, len(t) - 4)
+                       ELSE [] END) AS u(i)),
+flag AS (SELECT passage, min(doc_id) AS min_doc_id
+         FROM (SELECT DISTINCT doc_id, passage FROM win)
+         GROUP BY passage HAVING count(*) >= 2),
+blocked AS (SELECT w.doc_id, w.pos FROM win w JOIN flag f USING (passage)
+            WHERE w.doc_id <> f.min_doc_id),
+starts AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS ss
+           FROM blocked GROUP BY doc_id),
+kept AS (SELECT t.doc_id, t.t,
+                list_filter(t.t, (x, i) -> NOT coalesce(list_bool_or(
+                  list_transform(coalesce(s.ss, []),
+                                 st -> i - 1 >= st AND i - 1 < st + 5)),
+                  false)) AS k
+         FROM t LEFT JOIN starts s USING (doc_id))
+SELECT doc_id, coalesce(array_to_string(k, ' '), '') AS clean_text,
+       CAST(len(t) AS BIGINT) AS n_tokens_in,
+       CAST(len(k) AS BIGINT) AS n_tokens_kept
+FROM kept
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
 _SQL_MIX_CORPUS = """
 WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
 w AS (SELECT d, CAST(w AS DOUBLE) AS w FROM (VALUES
@@ -3415,6 +3457,7 @@ LOCAL_QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "bm25_topk": q_bm25_topk,
     "dsir_weights": q_dsir_weights,
+    "scrub_passages": q_scrub_passages,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -3450,4 +3493,5 @@ LOCAL_ORACLE_SQL = {
     "lm_perplexity": _SQL_LM_PPL,
     "bm25_topk": _SQL_BM25,
     "dsir_weights": _SQL_DSIR,
+    "scrub_passages": _SQL_SCRUB_PASSAGES,
 }

@@ -917,3 +917,89 @@ def duplicate_passages(
         )
         .where(F.col("n_docs") >= F.lit(min_docs))
     )
+
+
+def scrub_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Remove cross-document duplicated passages from the text — the
+    scrub half of the Lee et al. 2022 exact-substring dedup tier
+    (duplicate_passages is the flag half): any word n-gram occurring
+    in >= ``min_docs`` distinct documents is cut from every document,
+    except (with ``keep_first``, the witness convention shared with
+    dedup_lines) the min-id document containing it, which keeps its
+    text intact for that passage.  A token is removed when ANY flagged
+    n-gram window covers it, so overlapping duplicated passages scrub
+    as one span, exactly like the suffix-array span removal the paper
+    implements single-node.
+
+    Returns (doc_id, clean_text, n_tokens_in, n_tokens_kept), one row
+    per input document; documents with < n tokens (no shingle) pass
+    through untouched (their tokens, space-joined).  Pure string and
+    integer arithmetic — no float ladder needed for the oracle.
+
+    Shape at scale: the flag pass is duplicate_passages' single
+    map-side-combining aggregate keyed by passage; the scrub pass
+    explodes one row per (doc, window), joins the flagged table
+    passage-keyed (vocabulary of REPEATED n-grams — far smaller than
+    the corpus; AQE broadcasts it when it fits), re-aggregates blocked
+    window starts per doc (sorted, deduped), and rebuilds the text in
+    one array pass.  The per-token kept test is exists() over the
+    doc's blocked starts — O(tokens x blocked-windows) per document,
+    fine while blocked windows per doc are bounded (boilerplate);
+    a doc that is ~all duplicated passages costs O(tokens^2/n) there,
+    the same class as its own shingle fan-out.  The token array never
+    rides through the window explode: windows carry (doc_id, pos,
+    passage) only, and the rebuild joins the starts back id-keyed.
+    """
+    t = df.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t")
+    )
+    cnt = F.size(F.col("_t"))
+    windows = F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(F.col("_t"), i + 1, n), " ").alias(
+                    "passage"
+                ),
+            ),
+        ),
+    )
+    pos_sh = (
+        t.select("doc_id", F.explode_outer(windows).alias("_w"))
+        .where(F.col("_w").isNotNull())
+        .select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.passage").alias("passage"))
+    )
+    flagged = duplicate_passages(df, id_col, text_col, n, min_docs).select(
+        "passage", "min_doc_id"
+    )
+    blocked = pos_sh.join(flagged, "passage")
+    if keep_first:
+        blocked = blocked.where(F.col("doc_id") != F.col("min_doc_id"))
+    starts = blocked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("pos")).alias("_ss")
+    )
+    ss = F.coalesce(F.col("_ss"), F.expr("array()").cast("array<int>"))
+    kept = F.filter(
+        F.col("_t"),
+        lambda tok, idx: ~F.exists(
+            ss, lambda s: (idx >= s) & (idx < s + F.lit(n))
+        ),
+    )
+    return (
+        t.join(starts, "doc_id", "left")
+        .select(
+            F.col("doc_id"),
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size("_t").cast("long").alias("n_tokens_in"),
+            F.size(kept).cast("long").alias("n_tokens_kept"),
+        )
+    )

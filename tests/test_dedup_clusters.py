@@ -556,3 +556,92 @@ def test_simhash_incremental_corpus_invariants(spark):
     # (2) every rejected doc has a near-dup witness
     colliding_ids = {r["id"] for r in collisions.select("id").distinct().collect()}
     assert rejected <= colliding_ids
+
+
+# ------------------------------------------------------ scrub_passages
+def test_scrub_passages_witness_and_removal(spark):
+    from ocr_project_spark.operators.dedup import scrub_passages
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon unique one"),
+            (2, "intro words alpha beta gamma delta epsilon outro"),
+            (3, "totally different text with no repeats at all here"),
+            (4, "tiny"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_passages(docs, n=5, min_docs=2).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # witness (min id) keeps the passage; the other doc loses exactly
+    # the 5 covered tokens
+    assert got[1].clean_text == "alpha beta gamma delta epsilon unique one"
+    assert got[2].clean_text == "intro words outro"
+    assert (got[2].n_tokens_in, got[2].n_tokens_kept) == (8, 3)
+    # untouched docs pass through; <n-token and null docs survive
+    assert got[3].n_tokens_kept == got[3].n_tokens_in == 9
+    assert got[4].clean_text == "tiny"
+    assert got[5].clean_text == "" and got[5].n_tokens_in == 0
+
+
+def test_scrub_passages_overlaps_merge_and_keep_first_off(spark):
+    from ocr_project_spark.operators.dedup import scrub_passages
+
+    # two overlapping duplicated trigrams in doc 2 ("a b c" and
+    # "b c d") must scrub as one 4-token span
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (2, "q a b c d r"),
+            (3, "b c d m n o"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.clean_text for r in scrub_passages(docs, n=3).collect()}
+    assert got[1] == "a b c x y z"       # witness of "a b c"
+    # doc 2 is the non-witness of "a b c" (loses a, b, c) but the
+    # min-id WITNESS of "b c d" — yet b and c are already covered by
+    # the blocked "a b c" window, so only d survives of that passage
+    assert got[2] == "q d r"
+    assert got[3] == "m n o"             # non-witness of "b c d"
+
+    allscrub = {
+        r.doc_id: r.clean_text
+        for r in scrub_passages(docs, n=3, keep_first=False).collect()
+    }
+    # no witness: every occurrence of both flagged trigrams is cut,
+    # and doc 2's overlapping spans merge into one a..d removal
+    assert allscrub[1] == "x y z"
+    assert allscrub[2] == "q r"
+    assert allscrub[3] == "m n o"
+
+
+def test_scrub_passages_matches_flag_accounting(spark):
+    """Every token removed corresponds to coverage by a flagged
+    passage on the real sf0.001 corpus; docs flagged nowhere are
+    untouched."""
+    import pyspark.sql.functions as F
+
+    from ocr_project_spark.operators.dedup import (
+        duplicate_passages,
+        scrub_passages,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = scrub_passages(docs, n=5, min_docs=2)
+    flagged = duplicate_passages(docs, n=5, min_docs=2)
+    n_flagged = flagged.count()
+    assert n_flagged > 0
+    removed = out.where(F.col("n_tokens_kept") < F.col("n_tokens_in"))
+    assert removed.count() > 0
+    assert out.count() == docs.count()
+    # accounting: never gains tokens, and clean_text's token count is
+    # exactly n_tokens_kept on every row
+    assert out.where(F.col("n_tokens_kept") > F.col("n_tokens_in")).count() == 0
+    from ocr_project_spark.functions.text import word_tokens
+
+    bad = out.where(
+        F.size(word_tokens(F.col("clean_text"))) != F.col("n_tokens_kept")
+    )
+    assert bad.count() == 0
