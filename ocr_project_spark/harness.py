@@ -1105,11 +1105,11 @@ WITH t AS (
   FROM t
 )
 SELECT passage,
-       count(DISTINCT doc_id) AS n_docs,
+       count(DISTINCT {{'id': doc_id}}) AS n_docs,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id
 FROM sh GROUP BY passage
-HAVING count(DISTINCT doc_id) >= 2
+HAVING count(DISTINCT {{'id': doc_id}}) >= 2
 """.format(toks=_WORD_TOKS.format(c="text"))
 
 

@@ -1003,6 +1003,12 @@ def lm_score(
     train = train_docs if train_docs is not None else docs
     tb = _bigram_stream(train, id_col, text_col)
     c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    if vocab_size is not None and vocab_size <= 0:
+        raise ValueError(
+            f"vocab_size must be positive, got {vocab_size} — an empty "
+            "training vocabulary makes every smoothed probability "
+            "divide by zero"
+        )
     if min_count > 1:
         c2 = c2.where(F.col("_c2") >= F.lit(min_count))
     c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
@@ -1016,6 +1022,10 @@ def lm_score(
             .distinct()
             .count()
         )
+        if vocab_size == 0:
+            raise ValueError(
+                "training corpus has no tokens — cannot fit a bigram LM"
+            )
 
     sb = _bigram_stream(docs, id_col, text_col)
     p = (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(float(k))) / (
@@ -1148,14 +1158,19 @@ def dsir_weights(
             F.round(F.sum(F.col("_c") * F.col("_lr")), 4).alias("log_w"),
         )
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
-            F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
-        )
+    # null-safe join-back: a null-id document's features aggregate
+    # under per_doc's null group, and a plain equi-join would silently
+    # zero its weight (the null-key trap fuse_media_candidates_routed
+    # hit) — eqNullSafe hands the null group's weight back instead
+    left = docs.select(F.col(id_col).alias("doc_id"))
+    return left.join(
+        per_doc.withColumnRenamed("doc_id", "_pid"),
+        left["doc_id"].eqNullSafe(F.col("_pid")),
+        "left",
+    ).select(
+        left["doc_id"],
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
     )
 
 

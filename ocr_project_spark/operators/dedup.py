@@ -911,7 +911,10 @@ def duplicate_passages(
     return (
         ex.groupBy("passage")
         .agg(
-            F.countDistinct("id").alias("n_docs"),
+            # struct-wrapped so a null-id document still counts as one
+            # distinct document (bare countDistinct drops NULL, which
+            # silently under-flags passages shared with null-id docs)
+            F.countDistinct(F.struct("id")).alias("n_docs"),
             F.min("id").alias("min_doc_id"),
             F.max("id").alias("max_doc_id"),
         )
@@ -983,7 +986,13 @@ def scrub_passages(
     )
     blocked = pos_sh.join(flagged, "passage")
     if keep_first:
-        blocked = blocked.where(F.col("doc_id") != F.col("min_doc_id"))
+        # null-safe: a null-id document must still be scrubbed (a
+        # plain != yields NULL and silently exempts it from every
+        # flagged passage); it is the witness only when min_doc_id is
+        # itself null, i.e. no non-null doc carries the passage
+        blocked = blocked.where(
+            ~F.col("doc_id").eqNullSafe(F.col("min_doc_id"))
+        )
     starts = blocked.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("pos")).alias("_ss")
     )
@@ -994,10 +1003,17 @@ def scrub_passages(
             ss, lambda s: (idx >= s) & (idx < s + F.lit(n))
         ),
     )
+    # null-safe join-back: a null-id document's blocked starts live in
+    # starts' null group; a plain equi-join would never hand them back
+    # and the doc would silently skip its scrub
     return (
-        t.join(starts, "doc_id", "left")
+        t.join(
+            starts.withColumnRenamed("doc_id", "_sid"),
+            t["doc_id"].eqNullSafe(F.col("_sid")),
+            "left",
+        )
         .select(
-            F.col("doc_id"),
+            t["doc_id"],
             F.array_join(kept, " ").alias("clean_text"),
             F.size("_t").cast("long").alias("n_tokens_in"),
             F.size(kept).cast("long").alias("n_tokens_kept"),

@@ -970,3 +970,32 @@ def test_dsir_sample_deterministic_and_seeded(spark):
     # a different seed draws an independent permutation; with 20 docs
     # choose 5 the two samples are overwhelmingly unlikely to coincide
     assert c != {i for i, _ in a}
+
+
+def test_dsir_null_id_doc_keeps_its_weight(spark):
+    from ocr_project_spark.operators.curate import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(None, "alpha beta alpha beta"), (2, "gamma delta gamma")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(100, "alpha beta alpha")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in dsir_weights(raw, tgt, n_buckets=32).collect()}
+    # the null-id doc's features must come back through the null-safe
+    # join, not silently zero out
+    assert got[None].n_feats == 3
+    assert got[None].log_w != 0.0
+    assert got[None].log_w > got[2].log_w
+
+
+def test_lm_score_empty_train_raises(spark):
+    from ocr_project_spark.operators.curate import lm_score
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lm_score(docs, train_docs=empty)
+    with pytest.raises(ValueError):
+        lm_score(docs, vocab_size=0)

@@ -645,3 +645,20 @@ def test_scrub_passages_matches_flag_accounting(spark):
         F.size(word_tokens(F.col("clean_text"))) != F.col("n_tokens_kept")
     )
     assert bad.count() == 0
+
+
+def test_scrub_passages_null_id_doc_still_scrubbed(spark):
+    from ocr_project_spark.operators.dedup import scrub_passages
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (None, "q a b c d r"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.clean_text for r in scrub_passages(docs, n=3).collect()}
+    # doc 1 is the witness (min non-null id); the null-id doc must not
+    # be exempted from the scrub by a null != comparison
+    assert got[1] == "a b c x y z"
+    assert got[None] == "q d r"
