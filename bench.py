@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "dsir_weights",
     "scrub_passages",
+    "rrf_hybrid",
 ]
 
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

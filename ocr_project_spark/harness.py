@@ -2417,7 +2417,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_BM25 = """
+def _sql_bm25(k1: str, b: str, top_n: int) -> str:
+    """Okapi BM25 oracle body over `documents` against _BM25_QUERIES.
+    ``k1``/``b`` are decimal STRINGS so the SQL literal is the same
+    IEEE double Spark's F.lit builds; association order mirrors
+    operators/similarity.bm25_topk op-for-op."""
+    return """
 WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
 dl AS (SELECT doc_id, len(t) AS dl FROM toks),
 stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
@@ -2429,9 +2434,9 @@ q AS (SELECT * FROM (VALUES (0, 'hash join merge'), (1, 'window sort order'),
 qt AS (SELECT DISTINCT query_id, unnest({qtoks}) AS term FROM q),
 m AS (SELECT qt.query_id, tf.doc_id,
              round(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
-             * tf.tf * (1.2 + 1.0)
-             / (tf.tf + 1.2 * ((1.0 - 0.75)
-                + (0.75 * d.dl) / (CAST(s.sdl AS DOUBLE) / s.n))) AS part
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * ((1.0 - {b})
+                + ({b} * d.dl) / (CAST(s.sdl AS DOUBLE) / s.n))) AS part
       FROM qt JOIN tf USING (term) JOIN dfq USING (term)
       JOIN dl d ON tf.doc_id = d.doc_id CROSS JOIN stats s),
 sc AS (SELECT query_id, doc_id, round(sum(part), 4) AS score
@@ -2441,10 +2446,58 @@ r AS (SELECT query_id, doc_id, score,
                                 ORDER BY score DESC, doc_id) AS rank
       FROM sc)
 SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
-FROM r WHERE rank <= 5
+FROM r WHERE rank <= {top_n}
 """.format(
-    toks=_WORD_TOKS.format(c="text"), qtoks=_WORD_TOKS.format(c="qtext")
-)
+        toks=_WORD_TOKS.format(c="text"),
+        qtoks=_WORD_TOKS.format(c="qtext"),
+        k1=k1,
+        b=b,
+        top_n=top_n,
+    )
+
+
+_SQL_BM25 = _sql_bm25("1.2", "0.75", 5)
+
+
+# --------------------------------------------------------------------
+# 32s. Hybrid reciprocal-rank fusion (operators/similarity.py
+#      rrf_fuse): ensemble two retrievers' per-query rankings — here
+#      two BM25 regimes (standard 1.2/0.75 vs length-norm-free
+#      2.0/0.0, which genuinely reorder) — by sum of 1/(60+rank).
+# --------------------------------------------------------------------
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.similarity import bm25_topk, rrf_fuse
+
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    docs = T(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, q, top_n=10)
+    nolen = bm25_topk(docs, q, k1=2.0, b=0.0, top_n=10)
+    return rrf_fuse([lex, nolen], top_n=5).select(
+        "query_id",
+        "doc_id",
+        "rrf_score",
+        F.col("n_lists").cast("long").alias("n_lists"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_SQL_RRF = """
+WITH a AS ({bm25_a}),
+bq AS ({bm25_b}),
+u AS (SELECT query_id, doc_id, round(1.0 / (60.0 + rank), 6) AS rr FROM a
+      UNION ALL
+      SELECT query_id, doc_id, round(1.0 / (60.0 + rank), 6) AS rr FROM bq),
+f AS (SELECT query_id, doc_id, round(sum(rr), 4) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY query_id, doc_id),
+r AS (SELECT query_id, doc_id, rrf_score, n_lists,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, n_lists DESC,
+                                         doc_id) AS rank
+      FROM f)
+SELECT query_id, doc_id, rrf_score, n_lists, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+""".format(bm25_a=_sql_bm25("1.2", "0.75", 10), bm25_b=_sql_bm25("2.0", "0.0", 10))
 
 
 # --------------------------------------------------------------------
@@ -3458,6 +3511,7 @@ LOCAL_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "dsir_weights": q_dsir_weights,
     "scrub_passages": q_scrub_passages,
+    "rrf_hybrid": q_rrf_hybrid,
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
@@ -3494,4 +3548,5 @@ LOCAL_ORACLE_SQL = {
     "bm25_topk": _SQL_BM25,
     "dsir_weights": _SQL_DSIR,
     "scrub_passages": _SQL_SCRUB_PASSAGES,
+    "rrf_hybrid": _SQL_RRF,
 }

@@ -759,3 +759,70 @@ def bm25_topk(
         .where(F.col("rank") <= F.lit(top_n))
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): combine two or
+    more per-query rankings — e.g. bm25_topk's lexical list and
+    knn_join's embedding list — into one hybrid ranking, the standard
+    retrieval-ensemble step:
+
+        rrf(q, d) = sum over rankings r containing (q, d) of
+                    1 / (k + rank_r(q, d))
+
+    Rank-based, so the input lists' score scales never need
+    calibration.  Returns (query_id, doc_id, rrf_score, n_lists,
+    rank), rank 1..top_n per query by fused score descending, ties
+    broken on n_lists descending (documents found by more lists win)
+    then doc_id ascending.
+
+    Cross-engine determinism: each reciprocal 1/(k + rank) is rounded
+    to 6 decimals (the division itself is exact-input IEEE but the
+    SUM of reciprocals is order-sensitive, so the addends are pinned
+    first); the fused sum is rounded to 4 BEFORE the ranking window.
+
+    Shape at scale: a union of the (already small, top-n-per-query)
+    ranking tables, one map-side-combining aggregate on
+    (query_id, doc_id), and a WindowGroupLimit top-n per query — no
+    join at all; the fused table is bounded by
+    sum(len(ranking_i)) <= n_rankings x n_queries x top_n_input.
+    """
+    if len(rankings) < 2:
+        raise ValueError(
+            f"rrf_fuse needs at least 2 rankings, got {len(rankings)}"
+        )
+    parts = []
+    for r in rankings:
+        parts.append(
+            r.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(doc_id_col).alias("doc_id"),
+                F.round(
+                    F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)), 6
+                ).alias("_rr"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_rr"), 4).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("n_lists").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(top_n))
+        .select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
+    )

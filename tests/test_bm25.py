@@ -85,3 +85,59 @@ def test_bm25_unmatched_query_yields_no_rows(spark):
         [(0, "zzz qqq"), (1, None)], "query_id long, query_text string"
     )
     assert bm25_topk(docs, q).count() == 0
+
+
+# ------------------------------------------------------------ rrf_fuse
+def test_rrf_hand_computed_and_tiebreak(spark):
+    from ocr_project_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    rows = {r.doc_id: r for r in rrf_fuse([a, b], k=60, top_n=10).collect()}
+
+    def rr(rank):
+        return round(1.0 / (60.0 + rank), 6)
+
+    assert rows[11].rrf_score == pytest.approx(round(rr(2) + rr(1), 4), abs=1e-9)
+    assert rows[11].n_lists == 2
+    assert rows[10].rrf_score == pytest.approx(round(rr(1), 4), abs=1e-9)
+    assert rows[10].n_lists == 1
+    # doc 11 (in both lists) outranks everything
+    assert rows[11].rank == 1
+    # doc 10 (rank 1 in a) and doc 13 (rank 2 in b): rr(1) > rr(2)
+    assert rows[10].rank == 2 and rows[13].rank > rows[10].rank
+
+
+def test_rrf_n_lists_tiebreak_and_top_n(spark):
+    from ocr_project_spark.operators.similarity import rrf_fuse
+
+    # doc 20 appears once at rank 1; docs 21/22 appear in both lists at
+    # ranks that sum to the same reciprocal total only if constructed —
+    # here use identical ranks so scores tie exactly and n_lists breaks it
+    a = spark.createDataFrame(
+        [(0, 20, 1), (0, 21, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 21, 2), (0, 22, 1)], "query_id long, doc_id long, rank int"
+    )
+    out = rrf_fuse([a, b], top_n=2).collect()
+    assert len(out) == 2
+    by_rank = sorted(out, key=lambda r: r.rank)
+    # doc 21: rr(2)+rr(2) = 2/62 > 1/61 = doc 20/22's score
+    assert by_rank[0].doc_id == 21 and by_rank[0].n_lists == 2
+    # doc 20 vs 22 tie at rr(1); doc_id ascending breaks it
+    assert by_rank[1].doc_id == 20
+
+
+def test_rrf_requires_two_rankings(spark):
+    from ocr_project_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(0, 1, 1)], "query_id long, doc_id long, rank int")
+    with pytest.raises(ValueError):
+        rrf_fuse([a])
