@@ -2460,6 +2460,26 @@ _SQL_BM25 = _sql_bm25("1.2", "0.75", 5)
 
 
 # --------------------------------------------------------------------
+# 32t. Learned quality classifier (operators/classifier.py): distill
+#      the Gopher heuristic gate into a pyspark.ml logistic scorer and
+#      score the corpus — the FineWeb-Edu pattern.  No oracle by
+#      design (model weights are not SQL-replayable); pytest pins
+#      held-out AUC, refit stability, and the row contract.
+# --------------------------------------------------------------------
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.classifier import (
+        apply_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    # min_stopwords=1: the synthetic vocabulary carries one distinct
+    # Gopher stopword, so the default gate is single-class here
+    model = train_quality_classifier(docs, gopher_kwargs={"min_stopwords": 1})
+    return apply_quality_classifier(docs, model)
+
+
+# --------------------------------------------------------------------
 # 32s. Hybrid reciprocal-rank fusion (operators/similarity.py
 #      rrf_fuse): ensemble two retrievers' per-query rankings — here
 #      two BM25 regimes (standard 1.2/0.75 vs length-norm-free
@@ -3512,6 +3532,7 @@ LOCAL_QUERIES = {
     "dsir_weights": q_dsir_weights,
     "scrub_passages": q_scrub_passages,
     "rrf_hybrid": q_rrf_hybrid,
+    "quality_classifier": q_quality_classifier,  # no oracle: ml model weights not SQL-replayable; pytest-pinned (AUC, refit stability)
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
