@@ -2460,6 +2460,22 @@ _SQL_BM25 = _sql_bm25("1.2", "0.75", 5)
 
 
 # --------------------------------------------------------------------
+# 32u. BPE tokenizer tier (functions/bpe.py): learn merges on a
+#      deterministic sample, tokenize distributed; n_bpe_tokens is the
+#      real packing/budgeting count.  No oracle by design (iterative
+#      greedy merges are not SQL-replayable); pytest pins learn/apply
+#      against a pure-python reference and the word_tokens lockstep.
+# --------------------------------------------------------------------
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.functions.bpe import apply_bpe, learn_bpe
+
+    _ensure_pyfiles(spark)  # pandas UDF closure imports the package on executors
+    docs = T(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=100, sample_docs=500)
+    return apply_bpe(docs, merges)
+
+
+# --------------------------------------------------------------------
 # 32t. Learned quality classifier (operators/classifier.py): distill
 #      the Gopher heuristic gate into a pyspark.ml logistic scorer and
 #      score the corpus — the FineWeb-Edu pattern.  No oracle by
@@ -3533,6 +3549,7 @@ LOCAL_QUERIES = {
     "scrub_passages": q_scrub_passages,
     "rrf_hybrid": q_rrf_hybrid,
     "quality_classifier": q_quality_classifier,  # no oracle: ml model weights not SQL-replayable; pytest-pinned (AUC, refit stability)
+    "bpe_tokens": q_bpe_tokens,              # no oracle: iterative merges not SQL-replayable; pytest-pinned vs python reference
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
