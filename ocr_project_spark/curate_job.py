@@ -1,0 +1,236 @@
+"""spark-submit entry point for the corpus-curation ladder — the
+training-data companion to job.py's extraction job.
+
+Runs a fixed-order, flag-selected pipeline over a (doc_id, text)
+parquet table and writes the surviving corpus plus a per-stage funnel
+report (docs and whitespace tokens remaining after each stage):
+
+    clean_lines -> gopher_rules -> scrub_pii -> scrub_passages
+    -> exact_dedup -> lm_score band filter -> DSIR selection
+    -> BPE token counts + pack_sequences -> shuffle_shards
+
+Stage order is scale-driven, same reasoning as operators/curate.py:
+projection-only filters first (they shrink every later shuffle),
+passage/exact dedup next, corpus-model stages (LM, DSIR) after the
+corpus is clean, and packing/sharding last because they must see the
+final survivor set.
+
+Packaged like job.py for `spark-submit --py-files` (tools/
+make_pyfiles.py); every stage is also reachable as a library call —
+this CLI only composes public operators.
+
+Usage (all stages optional; omitted stages pass through):
+
+    spark-submit --py-files dist/pkg.zip ocr_project_spark/curate_job.py \
+        --input docs.parquet --output /out --run-id r1 \
+        --clean-lines --gopher --gopher-set min_stopwords=1 \
+        --scrub-pii --scrub-passages 5 --exact-dedup \
+        --lm-cutoffs 3.4,3.5 --lm-keep head,middle \
+        --dsir-target seed.parquet --dsir-n 100000 \
+        --bpe-merges 200 --pack-budget 2048 --shards 64
+
+Outputs: <output>/<run_id>/corpus.parquet, <output>/<run_id>/funnel.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="(doc_id, text) parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--master", default=None, help="override master (tests)")
+    p.add_argument("--parallelism", type=int, default=None)
+    p.add_argument("--clean-lines", action="store_true")
+    p.add_argument("--gopher", action="store_true")
+    p.add_argument(
+        "--gopher-set", action="append", default=[],
+        help="gopher threshold override k=v (repeatable)",
+    )
+    p.add_argument("--scrub-pii", action="store_true")
+    p.add_argument(
+        "--scrub-passages", type=int, default=None, metavar="N",
+        help="remove cross-document duplicated word N-grams (witness kept)",
+    )
+    p.add_argument("--exact-dedup", action="store_true")
+    p.add_argument(
+        "--lm-cutoffs", default=None, metavar="T1,T2",
+        help="bigram-LM avg_nll band cutoffs (corpus self-trained)",
+    )
+    p.add_argument(
+        "--lm-keep", default="head,middle",
+        help="bands kept when --lm-cutoffs is set",
+    )
+    p.add_argument("--dsir-target", default=None, help="target-corpus parquet")
+    p.add_argument("--dsir-n", type=int, default=None)
+    p.add_argument("--bpe-merges", type=int, default=None)
+    p.add_argument("--pack-budget", type=int, default=None)
+    p.add_argument("--shards", type=int, default=None)
+    p.add_argument("--shard-salt", default="")
+    return p
+
+
+def _num(v: str):
+    try:
+        return int(v)
+    except ValueError:
+        return float(v)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if (args.dsir_target is None) != (args.dsir_n is None):
+        build_parser().error("--dsir-target and --dsir-n go together")
+    if (args.bpe_merges is None) != (args.pack_budget is None):
+        build_parser().error("--bpe-merges and --pack-budget go together")
+    if args.lm_cutoffs is not None:
+        try:
+            t1, t2 = (float(x) for x in args.lm_cutoffs.split(","))
+        except ValueError:
+            build_parser().error("--lm-cutoffs must be T1,T2 floats")
+        keep_bands = [b.strip() for b in args.lm_keep.split(",") if b.strip()]
+        bad = set(keep_bands) - {"head", "middle", "tail"}
+        if bad or not keep_bands:
+            build_parser().error(f"--lm-keep invalid bands: {sorted(bad)}")
+    gk = {}
+    for kv in args.gopher_set:
+        if "=" not in kv:
+            build_parser().error(f"--gopher-set expects k=v, got {kv!r}")
+        k, v = kv.split("=", 1)
+        gk[k] = _num(v)
+
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"curate-{args.run_id}",
+        master=args.master,
+        shuffle_partitions=args.parallelism,
+    )
+
+    def ntok(c):
+        return F.size(F.array_remove(F.split(F.coalesce(c, F.lit("")), r"\s+"), ""))
+
+    funnel: list[dict] = []
+
+    def record(df, stage):
+        row = df.agg(
+            F.count(F.lit(1)).alias("d"),
+            F.coalesce(F.sum(ntok(F.col("text"))), F.lit(0)).alias("t"),
+        ).collect()[0]
+        funnel.append(
+            {"stage": stage, "n_docs": int(row["d"]), "n_tokens": int(row["t"])}
+        )
+
+    cur = spark.read.parquet(args.input).select("doc_id", "text")
+    record(cur, "00_input")
+
+    if args.clean_lines:
+        from ocr_project_spark.operators.curate import clean_lines
+
+        cur = (
+            clean_lines(cur)
+            .where("keep")
+            .select("doc_id", F.col("clean_text").alias("text"))
+        )
+        record(cur, "10_clean_lines")
+
+    if args.gopher:
+        from ocr_project_spark.operators.curate import gopher_rules
+
+        keep = gopher_rules(cur, **gk).where("keep").select("doc_id")
+        cur = cur.join(keep, "doc_id")
+        record(cur, "20_gopher")
+
+    if args.scrub_pii:
+        from ocr_project_spark.operators.curate import scrub_pii
+
+        cur = scrub_pii(cur).select("doc_id", F.col("clean_text").alias("text"))
+        record(cur, "30_scrub_pii")
+
+    if args.scrub_passages is not None:
+        from ocr_project_spark.operators.dedup import scrub_passages
+
+        cur = scrub_passages(cur, n=args.scrub_passages).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        record(cur, "40_scrub_passages")
+
+    if args.exact_dedup:
+        from ocr_project_spark.operators.dedup import exact_dedup
+
+        keepers = exact_dedup(cur).select(
+            F.col("keeper_id").alias("doc_id")
+        )
+        cur = cur.join(keepers, "doc_id")
+        record(cur, "50_exact_dedup")
+
+    if args.lm_cutoffs is not None:
+        from ocr_project_spark.operators.curate import lm_score
+
+        bands = lm_score(cur, cutoffs=(t1, t2)).where(
+            F.col("band").isin(keep_bands)
+        ).select("doc_id")
+        # left_semi keeps <2-token docs OUT (they have no LM row) —
+        # deliberate: unscoreable fragments fail a perplexity filter
+        cur = cur.join(bands, "doc_id", "left_semi")
+        record(cur, "60_lm_filter")
+
+    if args.dsir_target is not None:
+        from ocr_project_spark.operators.curate import dsir_sample
+
+        target = spark.read.parquet(args.dsir_target).select("doc_id", "text")
+        sel = dsir_sample(
+            cur, target, args.dsir_n, seed=args.run_id
+        ).select("doc_id")
+        cur = cur.join(sel, "doc_id", "left_semi")
+        record(cur, "70_dsir_select")
+
+    extra_cols = []
+    if args.bpe_merges is not None:
+        from ocr_project_spark.functions.bpe import apply_bpe, learn_bpe
+        from ocr_project_spark.operators.pack import pack_sequences
+
+        merges = learn_bpe(cur, n_merges=args.bpe_merges)
+        counts = apply_bpe(cur, merges)
+        packed = pack_sequences(
+            counts.select("doc_id", "n_bpe_tokens"),
+            budget=args.pack_budget,
+            tokens_col="n_bpe_tokens",
+        ).withColumnRenamed("n_tokens", "n_bpe_tokens")
+        cur = cur.join(packed, "doc_id")
+        extra_cols += ["n_bpe_tokens", "pack_id"]
+
+    if args.shards is not None:
+        from ocr_project_spark.operators.curate import shuffle_shards
+
+        sh = shuffle_shards(
+            cur.select("doc_id"), n_shards=args.shards, salt=args.shard_salt
+        )
+        cur = cur.join(sh, "doc_id")
+        extra_cols += ["shard", "pos"]
+
+    out_dir = os.path.join(args.output, args.run_id)
+    cur.select("doc_id", "text", *extra_cols).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "corpus.parquet"))
+    record(spark.read.parquet(os.path.join(out_dir, "corpus.parquet")), "90_written")
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "funnel.json"), "w") as f:
+        json.dump({"run_id": args.run_id, "funnel": funnel}, f, indent=1)
+    print(json.dumps({"run_id": args.run_id, "funnel": funnel}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

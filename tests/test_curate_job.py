@@ -1,0 +1,111 @@
+"""curate_job.py CLI: the full flag-selected curation ladder run
+in-process against the sf0.001 corpus — funnel monotonicity, output
+contract, flag validation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ladder_out(spark, tmp_path_factory):
+    from ocr_project_spark.curate_job import main
+
+    out = str(tmp_path_factory.mktemp("curate_out"))
+    rc = main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out,
+            "--run-id", "t1",
+            # gopher with corpus-appropriate thresholds (the synthetic
+            # vocabulary has one distinct stopword); clean_lines is off
+            # because the corpus is single-line with short fragments
+            "--gopher", "--gopher-set", "min_stopwords=1",
+            "--gopher-set", "min_words=25",
+            "--scrub-passages", "5",
+            "--exact-dedup",
+            "--lm-cutoffs", "3.0,3.6", "--lm-keep", "head,middle",
+            "--bpe-merges", "30", "--pack-budget", "1024",
+            "--shards", "4",
+        ]
+    )
+    assert rc == 0
+    return os.path.join(out, "t1")
+
+
+def test_ladder_funnel_monotone_and_stages(ladder_out):
+    funnel = json.load(open(os.path.join(ladder_out, "funnel.json")))["funnel"]
+    stages = [f["stage"] for f in funnel]
+    assert stages == [
+        "00_input", "20_gopher", "40_scrub_passages",
+        "50_exact_dedup", "60_lm_filter", "90_written",
+    ]
+    docs = [f["n_docs"] for f in funnel]
+    toks = [f["n_tokens"] for f in funnel]
+    # every stage can only shrink the corpus
+    assert all(a >= b for a, b in zip(docs, docs[1:]))
+    assert all(a >= b for a, b in zip(toks, toks[1:]))
+    assert docs[0] == 500 and docs[-1] > 0
+    # the gopher gate and the passage scrub both genuinely fired
+    assert docs[1] < docs[0]
+    assert toks[2] < toks[1]
+
+
+def test_ladder_output_contract(spark, ladder_out):
+    df = spark.read.parquet(os.path.join(ladder_out, "corpus.parquet"))
+    assert set(df.columns) == {
+        "doc_id", "text", "n_bpe_tokens", "pack_id", "shard", "pos",
+    }
+    rows = df.collect()
+    n = len(rows)
+    funnel = json.load(open(os.path.join(ladder_out, "funnel.json")))["funnel"]
+    assert funnel[-1]["n_docs"] == n
+    assert all(r.n_bpe_tokens > 0 for r in rows)
+    assert {r.shard for r in rows} <= set(range(4))
+    # pack budget respected for multi-doc packs
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for r in rows:
+        packs[r.pack_id].append(r.n_bpe_tokens)
+    for members in packs.values():
+        if len(members) > 1:
+            assert sum(members) <= 1024
+
+
+def test_flag_validation():
+    from ocr_project_spark.curate_job import main
+
+    for argv in (
+        ["--input", "x", "--output", "y", "--run-id", "r", "--dsir-n", "5"],
+        ["--input", "x", "--output", "y", "--run-id", "r", "--bpe-merges", "5"],
+        ["--input", "x", "--output", "y", "--run-id", "r",
+         "--lm-cutoffs", "oops"],
+        ["--input", "x", "--output", "y", "--run-id", "r",
+         "--lm-cutoffs", "1,2", "--lm-keep", "bogus"],
+        ["--input", "x", "--output", "y", "--run-id", "r",
+         "--gopher", "--gopher-set", "min_words"],
+    ):
+        with pytest.raises(SystemExit):
+            main(argv)
+
+
+def test_dsir_stage_selects_subset(spark, tmp_path):
+    from ocr_project_spark.curate_job import main
+
+    out = str(tmp_path / "o")
+    rc = main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out,
+            "--run-id", "t2",
+            "--dsir-target", "/root/testdata/sf0.001/documents.parquet",
+            "--dsir-n", "50",
+        ]
+    )
+    assert rc == 0
+    df = spark.read.parquet(os.path.join(out, "t2", "corpus.parquet"))
+    assert df.count() == 50
