@@ -121,8 +121,19 @@ def main(argv: list[str] | None = None) -> int:
         return F.size(F.array_remove(F.split(F.coalesce(c, F.lit("")), r"\s+"), ""))
 
     funnel: list[dict] = []
+    _live: list = []  # previous stage's persisted frame, for release
 
     def record(df, stage):
+        # persist BEFORE counting: the funnel action materializes the
+        # stage once and the next stage reads the cache instead of
+        # re-executing the whole upstream lineage per stage (O(stages²)
+        # scans otherwise); the previous stage's cache is released as
+        # soon as its successor is materialized, so at most two stages
+        # are ever resident.  MEMORY_AND_DISK: a stage bigger than the
+        # cluster's storage memory spills instead of failing.
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
         row = df.agg(
             F.count(F.lit(1)).alias("d"),
             F.coalesce(F.sum(ntok(F.col("text"))), F.lit(0)).alias("t"),
@@ -130,9 +141,13 @@ def main(argv: list[str] | None = None) -> int:
         funnel.append(
             {"stage": stage, "n_docs": int(row["d"]), "n_tokens": int(row["t"])}
         )
+        while _live:
+            _live.pop().unpersist()
+        _live.append(df)
+        return df
 
     cur = spark.read.parquet(args.input).select("doc_id", "text")
-    record(cur, "00_input")
+    cur = record(cur, "00_input")
 
     if args.clean_lines:
         from ocr_project_spark.operators.curate import clean_lines
@@ -142,20 +157,20 @@ def main(argv: list[str] | None = None) -> int:
             .where("keep")
             .select("doc_id", F.col("clean_text").alias("text"))
         )
-        record(cur, "10_clean_lines")
+        cur = record(cur, "10_clean_lines")
 
     if args.gopher:
         from ocr_project_spark.operators.curate import gopher_rules
 
         keep = gopher_rules(cur, **gk).where("keep").select("doc_id")
         cur = cur.join(keep, "doc_id")
-        record(cur, "20_gopher")
+        cur = record(cur, "20_gopher")
 
     if args.scrub_pii:
         from ocr_project_spark.operators.curate import scrub_pii
 
         cur = scrub_pii(cur).select("doc_id", F.col("clean_text").alias("text"))
-        record(cur, "30_scrub_pii")
+        cur = record(cur, "30_scrub_pii")
 
     if args.scrub_passages is not None:
         from ocr_project_spark.operators.dedup import scrub_passages
@@ -163,7 +178,7 @@ def main(argv: list[str] | None = None) -> int:
         cur = scrub_passages(cur, n=args.scrub_passages).select(
             "doc_id", F.col("clean_text").alias("text")
         )
-        record(cur, "40_scrub_passages")
+        cur = record(cur, "40_scrub_passages")
 
     if args.exact_dedup:
         from ocr_project_spark.operators.dedup import exact_dedup
@@ -172,7 +187,7 @@ def main(argv: list[str] | None = None) -> int:
             F.col("keeper_id").alias("doc_id")
         )
         cur = cur.join(keepers, "doc_id")
-        record(cur, "50_exact_dedup")
+        cur = record(cur, "50_exact_dedup")
 
     if args.lm_cutoffs is not None:
         from ocr_project_spark.operators.curate import lm_score
@@ -183,7 +198,7 @@ def main(argv: list[str] | None = None) -> int:
         # left_semi keeps <2-token docs OUT (they have no LM row) —
         # deliberate: unscoreable fragments fail a perplexity filter
         cur = cur.join(bands, "doc_id", "left_semi")
-        record(cur, "60_lm_filter")
+        cur = record(cur, "60_lm_filter")
 
     if args.dsir_target is not None:
         from ocr_project_spark.operators.curate import dsir_sample
@@ -193,7 +208,7 @@ def main(argv: list[str] | None = None) -> int:
             cur, target, args.dsir_n, seed=args.run_id
         ).select("doc_id")
         cur = cur.join(sel, "doc_id", "left_semi")
-        record(cur, "70_dsir_select")
+        cur = record(cur, "70_dsir_select")
 
     extra_cols = []
     if args.bpe_merges is not None:
