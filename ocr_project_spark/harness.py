@@ -2500,15 +2500,18 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      rrf_fuse): ensemble two retrievers' per-query rankings — here
 #      two BM25 regimes (standard 1.2/0.75 vs length-norm-free
 #      2.0/0.0, which genuinely reorder) — by sum of 1/(60+rank).
+#      The two member rankings come from bm25_topk_grid: ONE postings
+#      build + ONE matched-score aggregate for the whole ensemble
+#      (each param_id slice is pinned row-identical to bm25_topk),
+#      fed to rrf_fuse in its pre-unioned long form.
 # --------------------------------------------------------------------
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_project_spark.operators.similarity import bm25_topk, rrf_fuse
+    from ocr_project_spark.operators.similarity import bm25_topk_grid, rrf_fuse
 
     q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
     docs = T(spark, sf_dir, "documents")
-    lex = bm25_topk(docs, q, top_n=10)
-    nolen = bm25_topk(docs, q, k1=2.0, b=0.0, top_n=10)
-    return rrf_fuse([lex, nolen], top_n=5).select(
+    grid = bm25_topk_grid(docs, q, params=[(1.2, 0.75), (2.0, 0.0)], top_n=10)
+    return rrf_fuse(grid, top_n=5).select(
         "query_id",
         "doc_id",
         "rrf_score",

@@ -698,6 +698,41 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
+    tf, dfq, qt, n_docs, avgdl = _bm25_postings(
+        docs, queries, id_col, text_col, query_id_col, query_text_col, min_df
+    )
+    part = _bm25_part(n_docs, avgdl, k1, b)
+
+    matched = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dfq, "term")
+        .select("query_id", "doc_id", part.alias("_part"))
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_part"), 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(top_n))
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def _bm25_postings(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str,
+    query_text_col: str,
+    min_df: int,
+):
+    """Shared BM25 index build: (tf, df, distinct query terms) plus the
+    two corpus scalars (N, avgdl).  Parameter-free — everything k1/b
+    touch happens in _bm25_part — so ensemble scorers reuse one build."""
     from ocr_project_spark.functions.text import word_tokens
 
     t = docs.select(
@@ -729,7 +764,13 @@ def bm25_topk(
         .where(F.col("term").isNotNull())
         .distinct()
     )
+    return tf, dfq, qt, n_docs, avgdl
 
+
+def _bm25_part(n_docs: int, avgdl: float, k1: float, b: float) -> Column:
+    """Per-posting BM25 contribution over the matched (tf, df, dl) row —
+    the identical expression chain bm25_topk documents, so grid scoring
+    is bit-equal to the single-parameter path."""
     idf = F.round(
         F.log(
             1.0
@@ -741,28 +782,97 @@ def bm25_topk(
         F.lit(1.0 - float(b))
         + F.lit(float(b)) * F.col("dl") / F.lit(float(avgdl))
     )
-    part = idf * F.col("tf") * F.lit(float(k1) + 1.0) / (F.col("tf") + norm)
+    return idf * F.col("tf") * F.lit(float(k1) + 1.0) / (F.col("tf") + norm)
 
+
+def bm25_topk_grid(
+    docs: DataFrame,
+    queries: DataFrame,
+    params: list[tuple[float, float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    top_n: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """BM25 over a (k1, b) parameter grid in ONE index pass: every
+    ranking bm25_topk would produce per parameter pair, from a single
+    postings build, a single broadcast query-term match, and a single
+    score aggregate.
+
+    Returns (param_id, query_id, doc_id, score, rank) where param_id
+    indexes ``params`` and each param_id slice is row-identical to
+    ``bm25_topk(docs, queries, k1=.., b=..)`` (same expression chain,
+    same rounding ladder, same tie-break — pinned in tests).
+
+    Why it exists: the postings build (corpus tokenize + two term
+    aggregates) dominates BM25 cost and is parameter-FREE — k1/b only
+    touch the final per-posting arithmetic.  Retrieval ensembles
+    (rrf_fuse over several parameterizations, hyperparameter sweeps)
+    otherwise rebuild the index once per member; at corpus scale that
+    multiplies the only corpus-sized shuffles by the grid size.  Here
+    the grid adds one projected column and one aggregate column per
+    member — the matched-postings table is scanned once.
+
+    Shape at scale: identical to bm25_topk (see its docstring) with
+    len(params) score columns riding the same map-side-combining
+    aggregate; the explode to long form happens AFTER the (query_id,
+    doc_id) aggregate, on a table bounded by matched query-doc pairs,
+    and the per-(param, query) top-n runs as WindowGroupLimit.
+    """
+    if not params:
+        raise ValueError("bm25_topk_grid needs at least one (k1, b) pair")
+    from pyspark.sql import Window
+
+    tf, dfq, qt, n_docs, avgdl = _bm25_postings(
+        docs, queries, id_col, text_col, query_id_col, query_text_col, min_df
+    )
     matched = (
         tf.join(F.broadcast(qt), "term")
         .join(dfq, "term")
-        .select("query_id", "doc_id", part.alias("_part"))
+        .select(
+            "query_id",
+            "doc_id",
+            *[
+                _bm25_part(n_docs, avgdl, k1, b).alias(f"_p{i}")
+                for i, (k1, b) in enumerate(params)
+            ],
+        )
     )
     scored = matched.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("_part"), 4).alias("score")
+        *[
+            F.round(F.sum(f"_p{i}"), 4).alias(f"_s{i}")
+            for i in range(len(params))
+        ]
     )
-    w = Window.partitionBy("query_id").orderBy(
+    long = scored.select(
+        "query_id",
+        "doc_id",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("param_id"),
+                        F.col(f"_s{i}").alias("score"),
+                    )
+                    for i in range(len(params))
+                ]
+            )
+        ),
+    )
+    w = Window.partitionBy("param_id", "query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        long.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.lit(top_n))
-        .select("query_id", "doc_id", "score", "rank")
+        .select("param_id", "query_id", "doc_id", "score", "rank")
     )
 
 
 def rrf_fuse(
-    rankings: list[DataFrame],
+    rankings: list[DataFrame] | DataFrame,
     k: int = 60,
     query_id_col: str = "query_id",
     doc_id_col: str = "doc_id",
@@ -793,25 +903,43 @@ def rrf_fuse(
     (query_id, doc_id), and a WindowGroupLimit top-n per query — no
     join at all; the fused table is bounded by
     sum(len(ranking_i)) <= n_rankings x n_queries x top_n_input.
+
+    ``rankings`` may instead be a SINGLE DataFrame holding all the
+    member rankings' rows already stacked (e.g. bm25_topk_grid's long
+    output, one ranking per param_id slice): RRF only sums
+    1/(k + rank) per (query, doc) membership row, so the pre-unioned
+    form needs no per-list split — and, crucially, no re-execution of
+    a shared upstream lineage once per list.  The caller owns the
+    >= 2-members invariant in that form (each (query_id, doc_id) must
+    appear at most once per member ranking, as in any ranking table).
     """
-    if len(rankings) < 2:
-        raise ValueError(
-            f"rrf_fuse needs at least 2 rankings, got {len(rankings)}"
+    if isinstance(rankings, DataFrame):
+        u = rankings.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(doc_id_col).alias("doc_id"),
+            F.round(
+                F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)), 6
+            ).alias("_rr"),
         )
-    parts = []
-    for r in rankings:
-        parts.append(
-            r.select(
-                F.col(query_id_col).alias("query_id"),
-                F.col(doc_id_col).alias("doc_id"),
-                F.round(
-                    F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)), 6
-                ).alias("_rr"),
+    else:
+        if len(rankings) < 2:
+            raise ValueError(
+                f"rrf_fuse needs at least 2 rankings, got {len(rankings)}"
             )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+        parts = []
+        for r in rankings:
+            parts.append(
+                r.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(doc_id_col).alias("doc_id"),
+                    F.round(
+                        F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)), 6
+                    ).alias("_rr"),
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
     fused = u.groupBy("query_id", "doc_id").agg(
         F.round(F.sum("_rr"), 4).alias("rrf_score"),
         F.count(F.lit(1)).alias("n_lists"),

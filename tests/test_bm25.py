@@ -141,3 +141,68 @@ def test_rrf_requires_two_rankings(spark):
     a = spark.createDataFrame([(0, 1, 1)], "query_id long, doc_id long, rank int")
     with pytest.raises(ValueError):
         rrf_fuse([a])
+
+
+def test_bm25_grid_slices_match_single_param_runs(spark):
+    """Each param_id slice of bm25_topk_grid is row-identical to the
+    corresponding bm25_topk run — same expression chain, rounding
+    ladder, and tie-break, from ONE shared postings build."""
+    from ocr_project_spark.operators.similarity import bm25_topk_grid
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "apple cherry"), (1, "banana")],
+        "query_id long, query_text string",
+    )
+    params = [(1.2, 0.75), (2.0, 0.0)]
+    grid = bm25_topk_grid(docs, qs, params=params, top_n=2)
+    rows = grid.collect()
+    for i, (k1, b) in enumerate(params):
+        single = sorted(
+            (r.query_id, r.doc_id, r.score, r.rank)
+            for r in bm25_topk(docs, qs, k1=k1, b=b, top_n=2).collect()
+        )
+        slice_i = sorted(
+            (r.query_id, r.doc_id, r.score, r.rank)
+            for r in rows
+            if r.param_id == i
+        )
+        assert slice_i == single, f"param {i} diverged"
+
+
+def test_bm25_grid_rejects_empty_params(spark):
+    from ocr_project_spark.operators.similarity import bm25_topk_grid
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "apple")], "query_id long, query_text string")
+    with pytest.raises(ValueError):
+        bm25_topk_grid(docs, qs, params=[])
+
+
+def test_rrf_long_form_equals_list_form(spark):
+    """rrf_fuse over a pre-unioned long table (bm25_topk_grid's shape)
+    fuses identically to the list-of-DataFrames form."""
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 20, 1), (0, 21, 2), (1, 30, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(0, 21, 1), (0, 22, 2), (1, 30, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    long = a.withColumn("param_id", F.lit(0)).unionByName(
+        b.withColumn("param_id", F.lit(1))
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, r.rrf_score, r.n_lists, r.rank)
+        for r in rrf_fuse([a, b], top_n=3).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.rrf_score, r.n_lists, r.rank)
+        for r in rrf_fuse(long, top_n=3).collect()
+    )
+    assert got == want
