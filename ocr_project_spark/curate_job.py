@@ -5,9 +5,10 @@ Runs a fixed-order, flag-selected pipeline over a (doc_id, text)
 parquet table and writes the surviving corpus plus a per-stage funnel
 report (docs and whitespace tokens remaining after each stage):
 
-    clean_lines -> gopher_rules -> scrub_pii -> scrub_passages
-    -> exact_dedup -> lm_score band filter -> DSIR selection
-    -> BPE token counts + pack_sequences -> shuffle_shards
+    cap_per_source -> clean_lines -> gopher_rules -> scrub_pii
+    -> scrub_passages -> exact_dedup -> lm_score band filter
+    -> DSIR selection -> BPE token counts + pack_sequences
+    -> shuffle_shards
 
 Stage order is scale-driven, same reasoning as operators/curate.py:
 projection-only filters first (they shrink every later shuffle),
@@ -49,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", required=True)
     p.add_argument("--master", default=None, help="override master (tests)")
     p.add_argument("--parallelism", type=int, default=None)
+    p.add_argument(
+        "--cap-per-source", type=int, default=None, metavar="N",
+        help="keep at most N docs per source column value "
+        "(deterministic salted-hash lottery; input must carry 'source')",
+    )
     p.add_argument("--clean-lines", action="store_true")
     p.add_argument("--gopher", action="store_true")
     p.add_argument(
@@ -148,6 +154,20 @@ def main(argv: list[str] | None = None) -> int:
 
     cur = spark.read.parquet(args.input).select("doc_id", "text")
     cur = record(cur, "00_input")
+
+    if args.cap_per_source is not None:
+        from ocr_project_spark.operators.curate import cap_per_source
+
+        # cap first: over-representation shaping shrinks every later
+        # stage; semi-join keeps the ladder's (doc_id, text) shape
+        # without threading the source column through the stages
+        keys = cap_per_source(
+            spark.read.parquet(args.input).select("doc_id", "source"),
+            cap=args.cap_per_source,
+            salt=args.run_id,
+        ).select("doc_id")
+        cur = cur.join(keys, "doc_id", "left_semi")
+        cur = record(cur, "05_source_cap")
 
     if args.clean_lines:
         from ocr_project_spark.operators.curate import clean_lines

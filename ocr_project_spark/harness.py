@@ -2629,6 +2629,36 @@ FROM kept
 """.format(toks=_WORD_TOKS.format(c="text"))
 
 
+# --------------------------------------------------------------------
+# 32t. Per-source frequency cap (operators/curate.py cap_per_source):
+#      keep at most N documents per source via the deterministic
+#      salted-hash lottery — the C4/CCNet per-domain over-
+#      representation guard.  Pure hash + window arithmetic, oracle
+#      replays the (md5, id) rank order exactly.
+# --------------------------------------------------------------------
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.operators.curate import cap_per_source
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_source(d, cap=10, salt="cap").select(
+        "doc_id", "source", F.col("keep_rank").cast("int").alias("keep_rank")
+    )
+
+
+_SQL_SOURCE_CAP = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS keep_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(keep_rank AS INT) AS keep_rank
+FROM r WHERE keep_rank <= 10
+"""
+
+
 _SQL_MIX_CORPUS = """
 WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
 w AS (SELECT d, CAST(w AS DOUBLE) AS w FROM (VALUES
@@ -3551,6 +3581,7 @@ LOCAL_QUERIES = {
     "dsir_weights": q_dsir_weights,
     "scrub_passages": q_scrub_passages,
     "rrf_hybrid": q_rrf_hybrid,
+    "source_cap": q_source_cap,
     "quality_classifier": q_quality_classifier,  # no oracle: ml model weights not SQL-replayable; pytest-pinned (AUC, refit stability)
     "bpe_tokens": q_bpe_tokens,              # no oracle: iterative merges not SQL-replayable; pytest-pinned vs python reference
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
@@ -3590,4 +3621,5 @@ LOCAL_ORACLE_SQL = {
     "dsir_weights": _SQL_DSIR,
     "scrub_passages": _SQL_SCRUB_PASSAGES,
     "rrf_hybrid": _SQL_RRF,
+    "source_cap": _SQL_SOURCE_CAP,
 }

@@ -339,6 +339,58 @@ def hash_sample(
     return df.where(keep)
 
 
+def cap_per_source(
+    df: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    key_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Per-key frequency cap: keep at most ``cap`` documents per
+    ``key_col`` value (domain, source, feed) — the web-pipeline
+    over-representation guard (C4 caps pages per URL, CCNet per
+    domain) that rate-based sampling cannot express: hash_sample keeps
+    a FRACTION per stratum, mix_corpus a target PROPORTION; this keeps
+    a COUNT, so a 10^9-page domain and a 10^4-page domain both
+    contribute <= cap documents.
+
+    Which documents survive is a deterministic salted-hash lottery,
+    the same determinism contract as hash_sample: rank documents
+    within each key by (md5(salt|id), id) ascending and keep rank <=
+    cap — reproducible across runs, cluster sizes, and input
+    partitionings, stable under incremental reruns, and independent
+    draws per ``salt``.  Returns the kept rows with their original
+    columns plus ``keep_rank`` (1..cap within the key).  Dropped rows
+    are recoverable as a witness set via anti-join on ``id_col``.
+
+    Shape at scale: one hash-partitioned exchange on ``key_col`` plus
+    a rank filter that Spark plans as WindowGroupLimit — each task
+    pre-prunes its partition to a local top-``cap`` per key BEFORE the
+    exchange, so the shuffle carries at most cap x distinct-keys-per-
+    task rows, not the corpus (hot domains — the reason the cap exists
+    — are exactly the rows that never travel).  That pushdown is why
+    this returns keepers-only instead of a full disposition column: a
+    keep flag on every row would force the whole corpus through the
+    window exchange.
+
+    NULL ids hash one shared sentinel (hash_sample's convention), so
+    several NULL-id rows inside one key tie at the same rank order and
+    which of them fill the last slots is not defined — documented
+    edge; feed real ids.  NULL keys form their own capped group, as in
+    SQL PARTITION BY.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    prefix = f"{salt}|" if salt else ""
+    key_str = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00<null-key>"))
+    h = F.md5(F.concat(F.lit(prefix), key_str))
+    w = Window.partitionBy(key_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("keep_rank", F.row_number().over(w))
+        .where(F.col("keep_rank") <= F.lit(cap))
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     n_shards: int,

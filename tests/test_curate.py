@@ -999,3 +999,61 @@ def test_lm_score_empty_train_raises(spark):
         lm_score(docs, train_docs=empty)
     with pytest.raises(ValueError):
         lm_score(docs, vocab_size=0)
+
+
+# ---------------------------------------------------------------- cap
+
+
+def test_cap_per_source_respects_cap_and_keeps_small_groups(spark):
+    from ocr_project_spark.operators.curate import cap_per_source
+
+    rows = [(i, f"src{i % 3}", f"text {i}") for i in range(20)]
+    rows.append((99, "lonely", "solo doc"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = cap_per_source(df, cap=4).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # hot keys capped exactly, small key untouched
+    assert all(len(v) == 4 for k, v in by_src.items() if k.startswith("src"))
+    assert len(by_src["lonely"]) == 1
+    # keep_rank is dense 1..n within each key
+    for v in by_src.values():
+        assert sorted(r.keep_rank for r in v) == list(range(1, len(v) + 1))
+    # original columns survive
+    assert all(r.text is not None for r in out)
+
+
+def test_cap_per_source_deterministic_across_partitionings_and_salts(spark):
+    from ocr_project_spark.operators.curate import cap_per_source
+
+    rows = [(i, f"s{i % 2}", "t") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def kept(frame, salt=""):
+        return sorted(
+            (r.doc_id, r.keep_rank)
+            for r in cap_per_source(frame, cap=5, salt=salt).collect()
+        )
+
+    a = kept(df)
+    b = kept(df.repartition(13))
+    c = kept(df.coalesce(1))
+    assert a == b == c  # verdicts never ride on partitioning
+    # a different salt draws a genuinely different lottery
+    assert {d for d, _ in kept(df)} != {d for d, _ in kept(df, salt="other")}
+
+
+def test_cap_per_source_null_key_group_and_bad_cap(spark):
+    import pytest as _pytest
+
+    from ocr_project_spark.operators.curate import cap_per_source
+
+    rows = [(1, None, "a"), (2, None, "b"), (3, None, "c"), (4, "s", "d")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = cap_per_source(df, cap=2).collect()
+    null_group = [r for r in out if r.source is None]
+    assert len(null_group) == 2  # NULL keys form one capped group
+    assert len([r for r in out if r.source == "s"]) == 1
+    with _pytest.raises(ValueError):
+        cap_per_source(df, cap=0)

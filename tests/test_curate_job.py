@@ -109,3 +109,27 @@ def test_dsir_stage_selects_subset(spark, tmp_path):
     assert rc == 0
     df = spark.read.parquet(os.path.join(out, "t2", "corpus.parquet"))
     assert df.count() == 50
+
+
+def test_cap_per_source_stage(tmp_path):
+    """--cap-per-source N caps every source to N docs (sf0.001: 20
+    sources x 25 docs -> exactly 20*N survive) and records its funnel
+    stage first, before any text-shaping stage."""
+    from ocr_project_spark.curate_job import main
+
+    out = str(tmp_path / "cap_out")
+    rc = main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out,
+            "--run-id", "tc",
+            "--cap-per-source", "2",
+        ]
+    )
+    assert rc == 0
+    funnel = json.load(open(os.path.join(out, "tc", "funnel.json")))["funnel"]
+    assert [f["stage"] for f in funnel] == [
+        "00_input", "05_source_cap", "90_written",
+    ]
+    docs = [f["n_docs"] for f in funnel]
+    assert docs == [500, 40, 40]
