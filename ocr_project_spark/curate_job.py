@@ -43,6 +43,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _write_text_file(spark, path: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API, so
+    --output may be any Hadoop-supported URI (hdfs://, s3a://,
+    file:...) — a driver-local ``open()`` would crash on a remote
+    scheme (or silently write the funnel to the driver's disk while
+    the corpus lands remotely)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="(doc_id, text) parquet")
@@ -254,15 +270,21 @@ def main(argv: list[str] | None = None) -> int:
         cur = cur.join(sh, "doc_id")
         extra_cols += ["shard", "pos"]
 
-    out_dir = os.path.join(args.output, args.run_id)
+    # posixpath-style join, not os.path.join: the output root may be a
+    # remote URI and these paths are consumed by Spark/Hadoop, which
+    # use '/' on every platform
+    out_dir = f"{args.output.rstrip('/')}/{args.run_id}"
+    corpus_path = f"{out_dir}/corpus.parquet"
     cur.select("doc_id", "text", *extra_cols).write.mode(
         "overwrite"
-    ).parquet(os.path.join(out_dir, "corpus.parquet"))
-    record(spark.read.parquet(os.path.join(out_dir, "corpus.parquet")), "90_written")
+    ).parquet(corpus_path)
+    record(spark.read.parquet(corpus_path), "90_written")
 
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "funnel.json"), "w") as f:
-        json.dump({"run_id": args.run_id, "funnel": funnel}, f, indent=1)
+    _write_text_file(
+        spark,
+        f"{out_dir}/funnel.json",
+        json.dumps({"run_id": args.run_id, "funnel": funnel}, indent=1),
+    )
     print(json.dumps({"run_id": args.run_id, "funnel": funnel}))
     return 0
 

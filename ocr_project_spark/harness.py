@@ -2583,7 +2583,8 @@ agg AS (SELECT per.doc_id, CAST(sum(per.c) AS BIGINT) AS n_feats,
 SELECT d.doc_id,
        CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
        coalesce(a.log_w, 0.0) AS log_w
-FROM documents d LEFT JOIN agg a USING (doc_id)
+FROM documents d
+LEFT JOIN agg a ON d.doc_id IS NOT DISTINCT FROM a.doc_id
 """.format(toks=_WORD_TOKS.format(c="text"))
 
 
@@ -2613,7 +2614,7 @@ flag AS (SELECT passage, min(doc_id) AS min_doc_id
          FROM (SELECT DISTINCT doc_id, passage FROM win)
          GROUP BY passage HAVING count(*) >= 2),
 blocked AS (SELECT w.doc_id, w.pos FROM win w JOIN flag f USING (passage)
-            WHERE w.doc_id <> f.min_doc_id),
+            WHERE w.doc_id IS DISTINCT FROM f.min_doc_id),
 starts AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS ss
            FROM blocked GROUP BY doc_id),
 kept AS (SELECT t.doc_id, t.t,
@@ -2621,7 +2622,8 @@ kept AS (SELECT t.doc_id, t.t,
                   list_transform(coalesce(s.ss, []),
                                  st -> i - 1 >= st AND i - 1 < st + 5)),
                   false)) AS k
-         FROM t LEFT JOIN starts s USING (doc_id))
+         FROM t LEFT JOIN starts s
+           ON t.doc_id IS NOT DISTINCT FROM s.doc_id)
 SELECT doc_id, coalesce(array_to_string(k, ' '), '') AS clean_text,
        CAST(len(t) AS BIGINT) AS n_tokens_in,
        CAST(len(k) AS BIGINT) AS n_tokens_kept

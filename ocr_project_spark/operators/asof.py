@@ -15,6 +15,17 @@ same shape Flink's temporal join and kdb's aj use.  Right-side rows
 tag 0 so a right row at exactly left.ts is visible (<= semantics,
 matching DuckDB's ASOF JOIN oracle).
 
+Without ``by`` there is no hash key, and a naive global window
+(``partitionBy(lit(1))``) would serialize the whole input through one
+reducer — an API-level scale-killer.  Instead the keyless path
+range-partitions the union on the time column, runs the same
+fill-forward window *per range partition* in parallel, and stitches
+partitions with a boundary-carry: a numPartitions-row table of each
+partition's last-seen right values, prefix-filled (tiny, single-task
+by construction) and broadcast back.  Each right column fills
+independently from its own latest non-null occurrence — identical
+semantics to the keyed path's per-column ``last(ignorenulls=True)``.
+
 ``interval_join`` — left rows matched to ranges [start, end) they fall
 into.  A raw range predicate would be a broadcast-nested-loop; instead
 both sides explode to fixed-width time buckets and equi-join on
@@ -56,9 +67,13 @@ def asof_join(
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     unioned = l_tag.unionByName(r_tag)
+    if not keys:
+        return _asof_global(unioned, left, on, rcols, suffix)
     w = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    ).orderBy(on, "_side").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Window.partitionBy(*keys)
+        .orderBy(on, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     filled = unioned.select(
         *left.columns,
         "_side",
@@ -68,6 +83,78 @@ def asof_join(
         ],
     )
     return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def _asof_global(
+    unioned: DataFrame, left: DataFrame, on: str, rcols: list[str], suffix: str
+) -> DataFrame:
+    """Keyless as-of: range-partition on the time column, fill forward
+    per partition in parallel, carry the boundary right-values across
+    partitions via a tiny broadcast table.
+
+    ``repartitionByRange(on, _side)`` keeps equal timestamps together
+    (and right rows sorting before same-timestamp left rows), so the
+    only cross-partition dependency is "the last right value seen in
+    any earlier partition" — exactly what the carry table provides.
+    The single-task window runs over ≤ numPartitions rows, never data.
+    """
+    scols = [f"{c}{suffix}" for c in rcols]
+    part = (
+        unioned.repartitionByRange(F.col(on), F.col("_side"))
+        .sortWithinPartitions(on, "_side")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+
+    # Per-partition boundary: for each right column independently, its
+    # value at that column's latest non-null right row in the partition
+    # (matches the keyed path's per-column last(ignorenulls) semantics).
+    bnd = (
+        part.where(F.col("_side") == 0)
+        .groupBy("_pid")
+        .agg(
+            *[
+                F.max_by(
+                    F.col(c), F.when(F.col(c).isNotNull(), F.col(on))
+                ).alias(c)
+                for c in scols
+            ]
+        )
+    )
+    # Prefix-fill: carry[pid] = last non-null boundary among pids < pid.
+    # The window is single-task but over ≤ numPartitions rows.
+    wb = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        part.select("_pid").distinct()
+        .join(bnd, "_pid", "left")
+        .select(
+            "_pid",
+            *[
+                F.last(c, ignorenulls=True).over(wb).alias(f"_carry_{c}")
+                for c in scols
+            ],
+        )
+    )
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(on, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = part.select(
+        *left.columns,
+        "_side",
+        "_pid",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in scols],
+    )
+    return (
+        filled.where(F.col("_side") == 1)
+        .join(F.broadcast(carry), "_pid")
+        .select(
+            *left.columns,
+            *[F.coalesce(F.col(c), F.col(f"_carry_{c}")).alias(c) for c in scols],
+        )
+    )
 
 
 def interval_join(

@@ -999,6 +999,7 @@ def lm_score(
     min_count: int = 1,
     vocab_size: int | None = None,
     cutoffs: tuple[float, float] | None = None,
+    broadcast_unigrams: bool | None = None,
 ) -> DataFrame:
     """CCNet-style n-gram language-model perplexity scoring.
 
@@ -1035,8 +1036,13 @@ def lm_score(
     Shape at scale: the two training aggregates are map-side-combining
     shuffles on (w1,w2) / (w1) — vocabulary-scale outputs, corpus-scale
     inputs.  Scoring left-joins the bigram stream against the counts:
-    the unigram-context side is explicitly broadcast (bounded by
-    vocabulary); the bigram side is a shuffle join sized by AQE —
+    the unigram-context side is broadcast when the vocabulary is known
+    to fit (``broadcast_unigrams``: None = auto, broadcast iff the
+    resolved vocab_size ≤ 2M contexts; a web-scale tens-of-millions
+    vocabulary would blow the driver/executor broadcast budget, so it
+    falls back to a shuffle join that AQE can still convert if the
+    post-aggregate table is small); the bigram side is a shuffle join
+    sized by AQE —
     at web scale prune it with ``min_count`` (hapax bigrams are the
     long tail of the table and the smoothing fallback covers them:
     an unseen pair scores (k)/(c1 + k·V), an unseen context 1/V).
@@ -1083,9 +1089,12 @@ def lm_score(
     p = (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(float(k))) / (
         F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(float(k)) * F.lit(float(vocab_size))
     )
+    if broadcast_unigrams is None:
+        broadcast_unigrams = vocab_size <= 2_000_000
+    c1_side = F.broadcast(c1) if broadcast_unigrams else c1
     scored = (
         sb.join(c2, ["w1", "w2"], "left")
-        .join(F.broadcast(c1), ["w1"], "left")
+        .join(c1_side, ["w1"], "left")
         .select("doc_id", F.round(-F.log(p), 6).alias("_nll"))
     )
     agg = scored.groupBy("doc_id").agg(

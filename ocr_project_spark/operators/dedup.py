@@ -947,12 +947,21 @@ def scrub_passages(
     integer arithmetic — no float ladder needed for the oracle.
 
     Shape at scale: the flag pass is duplicate_passages' single
-    map-side-combining aggregate keyed by passage; the scrub pass
-    explodes one row per (doc, window), joins the flagged table
-    passage-keyed (vocabulary of REPEATED n-grams — far smaller than
-    the corpus; AQE broadcasts it when it fits), re-aggregates blocked
-    window starts per doc (sorted, deduped), and rebuilds the text in
-    one array pass.  The per-token kept test is exists() over the
+    map-side-combining aggregate, here keyed by ``xxhash64(passage)``
+    instead of the n-word string — the scrub side never needs the
+    passage text, only its identity, so both the flag aggregate's
+    shuffle and the window-explode join carry an 8-byte key where a
+    ~`n` x avg-word-length string would otherwise ride per (doc, pos)
+    row (~n x fewer shuffle bytes on the widest stage).  A 64-bit
+    collision would scrub one innocent window with probability
+    ~2^-64 per (window, flagged) pair — negligible against corpus
+    sizes; the flag-half API (duplicate_passages) keeps exact string
+    keys since its output contract carries the passage text.  The
+    scrub pass explodes one row per (doc, window), joins the flagged
+    table hash-keyed (vocabulary of REPEATED n-grams — far smaller
+    than the corpus; AQE broadcasts it when it fits), re-aggregates
+    blocked window starts per doc (sorted, deduped), and rebuilds the
+    text in one array pass.  The per-token kept test is exists() over the
     doc's blocked starts — O(tokens x blocked-windows) per document,
     fine while blocked windows per doc are bounded (boilerplate);
     a doc that is ~all duplicated passages costs O(tokens^2/n) there,
@@ -970,21 +979,36 @@ def scrub_passages(
             F.sequence(F.lit(0), cnt - n),
             lambda i: F.struct(
                 i.alias("pos"),
-                F.array_join(F.slice(F.col("_t"), i + 1, n), " ").alias(
-                    "passage"
-                ),
+                F.xxhash64(
+                    F.array_join(F.slice(F.col("_t"), i + 1, n), " ")
+                ).alias("ph"),
             ),
         ),
     )
     pos_sh = (
         t.select("doc_id", F.explode_outer(windows).alias("_w"))
         .where(F.col("_w").isNotNull())
-        .select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.passage").alias("passage"))
+        .select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.ph").alias("ph"))
     )
-    flagged = duplicate_passages(df, id_col, text_col, n, min_docs).select(
-        "passage", "min_doc_id"
+    # hash-keyed flag pass: same aggregate as duplicate_passages but the
+    # shuffle key (and witness join key) is xxhash64(passage), so the
+    # passage string never leaves the map side
+    sh = shingles(F.col(text_col), n)
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(sh).alias("passage"))
+        .where(F.col("passage").isNotNull())
+        .select("id", F.xxhash64("passage").alias("ph"))
     )
-    blocked = pos_sh.join(flagged, "passage")
+    flagged = (
+        ex.groupBy("ph")
+        .agg(
+            F.countDistinct(F.struct("id")).alias("n_docs"),
+            F.min("id").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") >= F.lit(min_docs))
+        .select("ph", "min_doc_id")
+    )
+    blocked = pos_sh.join(flagged, "ph")
     if keep_first:
         # null-safe: a null-id document must still be scrubbed (a
         # plain != yields NULL and silently exempts it from every

@@ -129,7 +129,7 @@ def random_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
 
 
 def _default_planes(
-    dfs: list[DataFrame], vec_col: str = "v"
+    dfs: list[DataFrame], vec_col: str = "v", n_planes: int = 16
 ) -> list[list[float]]:
     """Seeded 16-plane default, dimension sniffed from the first
     NON-NULL vector across ``dfs`` (a null first row must not pick a
@@ -144,8 +144,8 @@ def _default_planes(
             df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
         )
         if row is not None:
-            return random_planes(16, len(row[0]))
-    return random_planes(16, 1)
+            return random_planes(n_planes, len(row[0]))
+    return random_planes(n_planes, 1)
 
 
 def _hyperplane_banded(
@@ -412,7 +412,7 @@ def knn_join_lsh(
     corpus: DataFrame,
     k: int = 5,
     planes: list[list[float]] | None = None,
-    bands: int = 4,
+    bands: int = 8,
     q_id: str = "qid",
     c_id: str = "vec_id",
     q_vec: str = "embedding",
@@ -429,18 +429,23 @@ def knn_join_lsh(
     (band, bucket) — sum of bucket-pair products, not |Q| * |C|.
     Band width is the recall/cost dial: r = planes/bands bits per band
     gives 2^r bucket values (join selectivity) and candidate recall
-    ~ 1-(1-s^r)^bands for pair similarity s.  The default 16/4 matches
-    the selective dup-pair tier (measured top-5 recall 0.46 on the
-    synthetic corpus); retrieval callers wanting recall raise bands —
-    24 planes / 8 bands measures 0.9 while keeping 8 values per band
-    (tests/test_knn_join.py::test_lsh_recall_floor).
+    ~ 1-(1-s^r)^bands for pair similarity s.  The DEFAULT is
+    24 planes / 8 bands (3 bits -> 8 values per band), which measures
+    top-5 recall 0.9 on the synthetic corpus — retrieval callers get
+    recall out of the box (tests/test_knn_join.py::
+    test_lsh_recall_floor_on_defaults).  The selective dup-pair tier
+    (embedding_near_dup / ann_lsh) keeps its own 16/4 default
+    (recall-per-cost tuned for near-identical pairs, measured top-5
+    recall 0.46 here); pass planes/bands explicitly to trade recall
+    for candidate volume.
     """
     if planes is None:
         planes = _default_planes(
             [
                 queries.select(F.col(q_vec).alias("v")),
                 corpus.select(F.col(c_vec).alias("v")),
-            ]
+            ],
+            n_planes=bands * 3,
         )
     qn = queries.select(
         F.col(q_id).alias("id"), F.col(q_vec).cast("array<double>").alias("v")

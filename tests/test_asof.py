@@ -46,6 +46,48 @@ def test_asof_no_key(spark):
     assert rows[0]["px_r"] == 5.0
 
 
+def test_asof_no_key_scalable_plan_and_semantics(spark):
+    """The keyless path must NOT serialize the data through one global
+    window: the fill-forward window partitions by the range-partition
+    id, and results match a brute-force oracle at several partition
+    counts (partition boundaries move; the boundary-carry must stitch
+    them correctly)."""
+    base = ts("2024-01-01T00:00:00")
+    lrows = [(i, base + dt.timedelta(seconds=7 * i)) for i in range(200)]
+    # right rows every 13 s, px = index; some null px values so the
+    # per-column independent fill is exercised across boundaries too
+    rrows = [
+        (base + dt.timedelta(seconds=13 * j), float(j) if j % 5 else None)
+        for j in range(80)
+    ]
+
+    def brute(lts):
+        best = None
+        for rts, px in rrows:
+            if rts <= lts and px is not None and (best is None or rts > best[0]):
+                best = (rts, px)
+        return best[1] if best else None
+
+    expected = {i: brute(lts) for i, lts in lrows}
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for nparts in ("3", "11"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            left = spark.createDataFrame(lrows, "id long, ts timestamp")
+            right = spark.createDataFrame(rrows, "ts timestamp, px double")
+            out = asof_join(left, right, on="ts", right_cols=["px"])
+            got = {r["id"]: r["px_r"] for r in out.collect()}
+            assert got == expected, f"mismatch at shuffle.partitions={nparts}"
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            # the data-path window is keyed by the range-partition id,
+            # not a constant
+            assert "windowspecdefinition(_pid" in plan
+            assert "partitionBy(1)" not in plan
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_interval_join_boundaries(spark):
     left = spark.createDataFrame(
         [(1, ts("2024-01-01T10:00:00")),    # == start -> in

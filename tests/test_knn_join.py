@@ -85,16 +85,16 @@ def test_lsh_rows_subset_of_exact_scores(spark, emb):
     assert all(n <= 7 for n in per_q.values()), per_q
 
 
-def test_lsh_recall_floor(spark, emb):
+def test_lsh_recall_floor_on_defaults(spark, emb):
     """Recall is tunable by band width: r = planes/bands bits per band
     gives 2^r values per band (bucket selectivity) and candidate
-    recall ~ 1-(1-s^r)^bands.  At 24 planes / 8 bands (8 values per
-    band — still a real bucket join, not a cross join) the
-    label-clustered synthetic corpus recovers ~0.9 of the true top-k;
-    measured 0.46 at the selective dup-tier default of 16/4."""
+    recall ~ 1-(1-s^r)^bands.  knn_join_lsh DEFAULTS to 24 planes /
+    8 bands (8 values per band — still a real bucket join, not a
+    cross join), so retrieval callers get ~0.9 recall of the true
+    top-k out of the box; 16/4 (measured 0.46 here) remains the
+    explicit dup-pair tier configuration."""
     queries = emb.where(F.col("vec_id") < 10)
     corpus = emb.where(F.col("vec_id") >= 10)
-    planes = random_planes(24, len(emb.first()["embedding"]))
     k = 5
     exact = {
         (r["qid"], r["id"])
@@ -102,9 +102,7 @@ def test_lsh_recall_floor(spark, emb):
     }
     approx = {
         (r["qid"], r["id"])
-        for r in knn_join_lsh(
-            queries, corpus, k=k, planes=planes, bands=8, q_id="vec_id"
-        ).collect()
+        for r in knn_join_lsh(queries, corpus, k=k, q_id="vec_id").collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, recall
