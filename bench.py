@@ -145,10 +145,12 @@ def main() -> None:
     timings["extract_pipeline_bucketed"] = round(dtb, 3)
     docs_per_sec_bucketed = round(N_BENCH_DOCS / dtb, 1)
 
-    # the legacy vectorized-pandas kernel (compatibility escape hatch
-    # for pandas-in/out learned-model classifiers; the pandas API's
-    # default kernel now routes through the arrow path below) —
-    # tracked to quantify the Arrow->python-dict nested-struct tax
+    # the vectorized-pandas kernel (compatibility escape hatch for
+    # pandas-in/out learned-model classifiers; the pandas API's
+    # default kernel routes through the arrow path below).  Since the
+    # parallel-primitive-array crossing landed (extract_pandas.py
+    # module docstring) its cost is within ~2x of the HOF plan —
+    # tracked to keep that bound honest
     from ocr_project_spark.harness import _ensure_pyfiles
     from ocr_project_spark.operators.extract_pandas import extract_pandas_engine
 
@@ -167,6 +169,35 @@ def main() -> None:
         PIPELINE_REPS, lambda: _noop_sink(extract_arrow_engine(docs, cands))
     )
     timings["extract_pipeline_arrow_udf"] = round(dta, 3)
+
+    # skewed-corpus regime: periodic mega-docs at ~100x the regular P99
+    # span count (12000 vs ~120) — the one-straggler-task case
+    # chunk_documents exists for.  extract() leaves each mega doc as a
+    # single task's work (AQE skew splitting cannot cut INSIDE a row);
+    # extract_chunked() bounds per-task work at one extra shuffle.
+    # The crossover is documented in PLANS.md ("skewed-corpus bench").
+    from ocr_project_spark.operators.extract import extract_chunked
+    from ocr_project_spark.sources.generate import write_corpus_parquet
+
+    n_skew = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_DOCS", "5000"))
+    skew_dir = f"/tmp/ocr_bench_skew_{n_skew}"
+    if not os.path.exists(os.path.join(skew_dir, "documents_spans.parquet")):
+        write_corpus_parquet(
+            skew_dir,
+            n_docs=n_skew,
+            base_seed=43,
+            mega_doc_every=250,
+            mega_span_count=12000,
+        )
+    docs_s = spark.read.parquet(f"{skew_dir}/documents_spans.parquet")
+    cands_s = spark.read.parquet(f"{skew_dir}/media_candidates.parquet")
+    dts = _best_of(PIPELINE_REPS, lambda: _noop_sink(extract(docs_s, cands_s)))
+    timings["extract_skewed"] = round(dts, 3)
+    dtc = _best_of(
+        PIPELINE_REPS,
+        lambda: _noop_sink(extract_chunked(docs_s, cands_s, 256)),
+    )
+    timings["extract_skewed_chunked"] = round(dtc, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -3426,9 +3426,32 @@ FROM t GROUP BY 1, 2
 # LOCAL_QUERIES / LOCAL_ORACLE_SQL, which tools/compare_oracle.py and
 # pytest keep green with the same machinery: nothing lost correctness
 # coverage, only its driver slot.
+#
+# Round-4 rotation: 12 curation/scoring operators that had only local
+# oracle rows (lm_perplexity, bm25_topk, dsir_weights, scrub_passages,
+# rrf_hybrid, semdedup, mix_corpus, clean_lines, gopher_rules,
+# scrub_pii, source_cap, dedup_lines) take driver slots; 12 relational
+# demos that were driver-green in rounds 1-3 (order_cube, event_pivot,
+# salted_counts, order_rollup, topk_orders, len_percentiles,
+# bigram_topk, distinct_tokens, customer_order_classes,
+# region_revenue, envelope, quality_delta) rotate to LOCAL_QUERIES —
+# still verified on every compare_oracle run.
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
-    # --- new this round / never driver-checked / changed shape ---
+    # --- promoted this round: first-ever driver rows ---
+    "lm_perplexity": q_lm_perplexity,
+    "bm25_topk": q_bm25_topk,
+    "dsir_weights": q_dsir_weights,
+    "scrub_passages": q_scrub_passages,
+    "rrf_hybrid": q_rrf_hybrid,
+    "semdedup": q_semdedup,
+    "mix_corpus": q_mix_corpus,
+    "clean_lines": q_clean_lines,
+    "gopher_rules": q_gopher_rules,
+    "scrub_pii": q_scrub_pii,
+    "source_cap": q_source_cap,
+    "dedup_lines": q_dedup_lines,
+    # --- driver-green in round 3 ---
     "knn_join": q_knn_join,
     "decontaminate": q_decontaminate,
     "hash_sample": q_hash_sample,
@@ -3442,10 +3465,7 @@ SPARK_QUERIES = {
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "normalize_text": q_normalize_text,
-    "salted_counts": q_salted_counts,
-    "order_rollup": q_order_rollup,
-    "reading_order": q_reading_order,           # now also emits gap_class
-    "customer_order_classes": q_customer_order_classes,  # semi + anti merged
+    "reading_order": q_reading_order,           # also emits gap_class
     "text_profile": q_text_profile,  # lang_id + fingerprint + token_stats
     # --- stable, driver-green in earlier rounds ---
     "extract_clean_spans": q_extract_clean_spans,
@@ -3457,32 +3477,35 @@ SPARK_QUERIES = {
     "weighted_confidence": q_weighted_confidence,
     "batch_stats": q_batch_stats,
     "consensus_boost": q_consensus_boost,
-    "envelope": q_envelope,
-    "region_revenue": q_region_revenue,
     "left_join_fallback": q_left_join_fallback,
     "exact_dedup": q_exact_dedup,
     "dedup_then_extract": q_dedup_then_extract,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "quality_scores": q_quality_scores,
-    "quality_delta": q_quality_delta,
     "strategy_routing": q_strategy_routing,
     "bucket_ladder": q_bucket_ladder,
-    "distinct_tokens": q_distinct_tokens,
-    "topk_orders": q_topk_orders,
     "xy_cut": q_xy_cut,
     "simhash64_pairs": q_simhash64_pairs,
     "embedding_near_dup": q_embedding_near_dup,
-    "len_percentiles": q_len_percentiles,
-    "bigram_topk": q_bigram_topk,
     "hourly_rollup": q_hourly_rollup,
     "props_json": q_props_json,
     "error_rows": q_error_rows,
-    "event_pivot": q_event_pivot,
-    "order_cube": q_order_cube,
 }
 
 ORACLE_SQL = {
+    "lm_perplexity": _SQL_LM_PPL,
+    "bm25_topk": _SQL_BM25,
+    "dsir_weights": _SQL_DSIR,
+    "scrub_passages": _SQL_SCRUB_PASSAGES,
+    "rrf_hybrid": _SQL_RRF,
+    "semdedup": _SQL_SEMDEDUP,
+    "mix_corpus": _SQL_MIX_CORPUS,
+    "clean_lines": _SQL_CLEAN_LINES,
+    "gopher_rules": _SQL_GOPHER_RULES,
+    "scrub_pii": _SQL_SCRUB_PII,
+    "source_cap": _SQL_SOURCE_CAP,
+    "dedup_lines": _SQL_DEDUP_LINES,
     "knn_join": _SQL_KNN_JOIN,
     "decontaminate": _SQL_DECONTAMINATE,
     "hash_sample": _SQL_HASH_SAMPLE,
@@ -3496,10 +3519,7 @@ ORACLE_SQL = {
     "asof_join": _SQL_ASOF,
     "interval_join": _SQL_INTERVAL,
     "normalize_text": _SQL_NORMALIZE,
-    "salted_counts": _SQL_SALTED_COUNTS,
-    "order_rollup": _SQL_ORDER_ROLLUP,
     "reading_order": _SQL_READING_ORDER,
-    "customer_order_classes": _SQL_ORDER_CLASSES,
     "text_profile": _SQL_TEXT_PROFILE,
     "extract_clean_spans": _SQL_EXTRACT,
     "extract_arrow_spans": _SQL_EXTRACT_CHUNKED,
@@ -3510,29 +3530,20 @@ ORACLE_SQL = {
     "weighted_confidence": _SQL_WEIGHTED,
     "batch_stats": _SQL_BATCH_STATS,
     "consensus_boost": _SQL_CONSENSUS_BOOST,
-    "envelope": _SQL_ENVELOPE,
-    "region_revenue": _SQL_REGION_REVENUE,
     "left_join_fallback": _SQL_LEFT_JOIN,
     "exact_dedup": _SQL_EXACT_DEDUP,
     "dedup_then_extract": _SQL_DEDUP_EXTRACT,
     "minhash_lsh_pairs": _SQL_MINHASH,
     "ann_lsh_topk": _SQL_ANN_LSH,
     "quality_scores": _SQL_QUALITY,
-    "quality_delta": _SQL_QUALITY_DELTA,
     "strategy_routing": _SQL_STRATEGY,
     "bucket_ladder": _SQL_BUCKET,
-    "distinct_tokens": _SQL_DISTINCT_TOKENS,
-    "topk_orders": _SQL_TOPK_ORDERS,
     "xy_cut": _SQL_XY_CUT,
     "simhash64_pairs": _SQL_SIMHASH64_PAIRS,
     "embedding_near_dup": _SQL_EMB_NEAR_DUP,
-    "len_percentiles": _SQL_LEN_PCT,
-    "bigram_topk": _SQL_BIGRAM,
     "hourly_rollup": _SQL_HOURLY,
     "props_json": _SQL_PROPS_JSON,
     "error_rows": _SQL_ERROR_ROWS,
-    "event_pivot": _SQL_PIVOT,
-    "order_cube": _SQL_CUBE,
 }
 
 # Folded out of the driver contract (cap), still verified locally on
@@ -3569,26 +3580,28 @@ LOCAL_QUERIES = {
     "simhash_sigs": q_simhash_sigs,
     "simhash_pairs": q_simhash_pairs,
     "duplicate_passages": q_duplicate_passages,
-    "semdedup": q_semdedup,
-    "mix_corpus": q_mix_corpus,
-    "clean_lines": q_clean_lines,
-    "scrub_pii": q_scrub_pii,
-    "gopher_rules": q_gopher_rules,
     "corpus_funnel": q_corpus_funnel,
     "shuffle_shards": q_shuffle_shards,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "dedup_lines": q_dedup_lines,
-    "lm_perplexity": q_lm_perplexity,
-    "bm25_topk": q_bm25_topk,
-    "dsir_weights": q_dsir_weights,
-    "scrub_passages": q_scrub_passages,
-    "rrf_hybrid": q_rrf_hybrid,
-    "source_cap": q_source_cap,
     "quality_classifier": q_quality_classifier,  # no oracle: ml model weights not SQL-replayable; pytest-pinned (AUC, refit stability)
     "bpe_tokens": q_bpe_tokens,              # no oracle: iterative merges not SQL-replayable; pytest-pinned vs python reference
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
+    # --- rotated out of the driver contract in round 4 (driver-green
+    # rounds 1-3; still verified here on every compare_oracle run) ---
+    "salted_counts": q_salted_counts,
+    "order_rollup": q_order_rollup,
+    "customer_order_classes": q_customer_order_classes,
+    "envelope": q_envelope,
+    "region_revenue": q_region_revenue,
+    "quality_delta": q_quality_delta,
+    "distinct_tokens": q_distinct_tokens,
+    "topk_orders": q_topk_orders,
+    "len_percentiles": q_len_percentiles,
+    "bigram_topk": q_bigram_topk,
+    "event_pivot": q_event_pivot,
+    "order_cube": q_order_cube,
 }
 
 LOCAL_ORACLE_SQL = {
@@ -3609,19 +3622,19 @@ LOCAL_ORACLE_SQL = {
     "simhash_sigs": _SQL_SIMHASH_SIGS,
     "simhash_pairs": _SQL_SIMHASH_PAIRS,
     "duplicate_passages": _SQL_DUP_PASSAGES,
-    "semdedup": _SQL_SEMDEDUP,
-    "mix_corpus": _SQL_MIX_CORPUS,
-    "clean_lines": _SQL_CLEAN_LINES,
-    "scrub_pii": _SQL_SCRUB_PII,
-    "gopher_rules": _SQL_GOPHER_RULES,
     "corpus_funnel": _SQL_CORPUS_FUNNEL,
     "shuffle_shards": _SQL_SHUFFLE_SHARDS,
     "tfidf_top_terms": _SQL_TFIDF,
-    "dedup_lines": _SQL_DEDUP_LINES,
-    "lm_perplexity": _SQL_LM_PPL,
-    "bm25_topk": _SQL_BM25,
-    "dsir_weights": _SQL_DSIR,
-    "scrub_passages": _SQL_SCRUB_PASSAGES,
-    "rrf_hybrid": _SQL_RRF,
-    "source_cap": _SQL_SOURCE_CAP,
+    "salted_counts": _SQL_SALTED_COUNTS,
+    "order_rollup": _SQL_ORDER_ROLLUP,
+    "customer_order_classes": _SQL_ORDER_CLASSES,
+    "envelope": _SQL_ENVELOPE,
+    "region_revenue": _SQL_REGION_REVENUE,
+    "quality_delta": _SQL_QUALITY_DELTA,
+    "distinct_tokens": _SQL_DISTINCT_TOKENS,
+    "topk_orders": _SQL_TOPK_ORDERS,
+    "len_percentiles": _SQL_LEN_PCT,
+    "bigram_topk": _SQL_BIGRAM,
+    "event_pivot": _SQL_PIVOT,
+    "order_cube": _SQL_CUBE,
 }

@@ -1,12 +1,12 @@
 """The extraction pipeline's Arrow/pandas-UDF engine path.
 
 Same semantics as operators/extract.py (the built-in-HOF fast path),
-but the per-document assembly runs as a vectorized pandas kernel in a
-``mapInPandas`` iterator UDF — the shape the reference's recognizer
-engines take in the new architecture (SURVEY.md section 2.9): Arrow
-batches of many documents in, batches out, heavyweight classifier
-state initialized once per python worker (the lazy-init pattern of
-tesseract.py:96-98).
+but the per-document keep/sort/regroup runs as a vectorized pandas
+kernel in a ``mapInPandas`` iterator UDF — the shape the reference's
+recognizer engines take in the new architecture (SURVEY.md section
+2.9): Arrow batches of many documents in, batches out, heavyweight
+classifier state initialized once per python worker (the lazy-init
+pattern of tesseract.py:96-98).
 
 Use this path when the classifier genuinely needs Python (learned
 models, tokenizers); the HOF path wins whenever the rule is
@@ -17,17 +17,29 @@ and the pandas kernel here remains the compatibility escape hatch for
 pandas-in/pandas-out classifiers.  Tests pin exact output equality
 across all paths.
 
-The kernel is flat-array vectorized: one flatten pass over the Arrow
-batch, then numpy gathers (np.repeat / lexsort / bincount-cumsum) for
-the stable sort, boilerplate keep-mask, dense per-doc order, and the
-regroup — no per-row pandas indexing and no per-document Python round
-trips.  The only Python-object work left is the unavoidable
-dict<->struct boundary of nested Arrow data in pandas UDFs.
+The kernel crossing is PARALLEL PRIMITIVE ARRAYS, not nested structs
+(SURVEY.md section 1.2's prescription): the JVM side projects the
+span-struct array into four flat columns (kinds, texts, refs,
+offsets) with codegen'd ``transform``s — media fusion is resolved
+JVM-side with the exact expression the HOF path uses, so the kernel
+never sees the fused map — and the kernel returns the kept kinds/
+texts/refs arrays, which the JVM re-zips into the output struct array
+(``arrays_zip`` + indexed ``transform``).  Nothing dict-shaped ever
+crosses Arrow in either direction; the earlier struct-crossing kernel
+spent >50% of its wall time converting nested span structs to python
+dicts and back (BASELINE.md, extract_pipeline_pandas_kernel history).
+
+Inside the kernel everything is flat-array vectorized: one flatten
+pass over the Arrow batch, then numpy gathers (np.repeat / lexsort /
+bincount-cumsum) for the stable sort, boilerplate keep-mask, dense
+per-doc order, and the regroup — no per-row pandas indexing and no
+per-document Python round trips.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+from itertools import chain
 
 import numpy as np
 import pandas as pd
@@ -36,50 +48,54 @@ from pyspark.sql import functions as F
 
 from ocr_project_spark.functions.fuse import fuse_media_candidates
 
-_OUT_SCHEMA = (
-    "doc_id string, "
-    "spans array<struct<kind:string,text:string,media_ref:string,order:int>>, "
-    "status struct<ok:boolean,reason:string>"
+# Flat crossing schemas: primitive arrays only (see module docstring).
+_KERNEL_IN_COLS = ["doc_id", "kinds", "texts", "refs", "offsets"]
+_KERNEL_OUT_SCHEMA = (
+    "doc_id string, kinds array<string>, texts array<string>, "
+    "refs array<string>, ok boolean, reason string"
 )
 
 
-def _doc_statuses(doc_ids: np.ndarray, spans_col: list) -> list[str | None]:
-    """Never-fail input validation, mirroring extract.doc_status_expr
-    (null_doc_id / null_spans / malformed_span, checked in that order);
-    None means ok."""
-    out: list[str | None] = [None] * len(spans_col)
-    for i, s in enumerate(spans_col):
-        if doc_ids[i] is None:
-            out[i] = "null_doc_id"
-        elif s is None:
-            out[i] = "null_spans"
-        elif any(
-            d is None or d["offset"] is None or d["kind"] is None for d in s
-        ):
-            out[i] = "malformed_span"
-    return out
+def _is_null_cell(x) -> bool:
+    """Arrow->pandas renders a NULL list cell as None or NaN depending
+    on the batch; treat both as the absent-payload case."""
+    return x is None or (isinstance(x, float) and x != x)
 
 
 def _assemble_batch(pdf: pd.DataFrame, classify) -> pd.DataFrame:
-    """Vectorized per-batch assembly: flatten -> classify -> resolve ->
-    lexsort -> keep-mask gather -> bincount regroup.  One pass over the
-    whole Arrow batch (many documents)."""
+    """Vectorized per-batch assembly over parallel primitive arrays:
+    flatten -> classify -> lexsort -> keep-mask gather -> bincount
+    regroup.  One pass over the whole Arrow batch (many documents);
+    media text is already resolved JVM-side."""
+    n_docs = len(pdf)
     doc_ids = np.array(
-        [x if x is not None and x == x else None for x in pdf["doc_id"].tolist()],
+        [None if _is_null_cell(x) else x for x in pdf["doc_id"].tolist()],
         dtype=object,
     )
-    spans_col = pdf["spans"].tolist()
-    spans_col = [s if isinstance(s, (list, np.ndarray)) else None for s in spans_col]
-    fused_col = (
-        pdf["fused_map"].tolist() if "fused_map" in pdf else [None] * len(pdf)
-    )
-    n_docs = len(spans_col)
+    kinds_col = pdf["kinds"].tolist()
+    texts_col = pdf["texts"].tolist()
+    refs_col = pdf["refs"].tolist()
+    offs_col = pdf["offsets"].tolist()
 
-    reasons = _doc_statuses(doc_ids, spans_col)
+    # Never-fail validation, mirroring extract.doc_status_expr
+    # (null_doc_id / null_spans / malformed_span, checked in order).
+    # A NULL span element surfaces as a null kind AND offset cell, so
+    # the per-element check covers it.
+    reasons: list[str | None] = [None] * n_docs
+    for i in range(n_docs):
+        ks = kinds_col[i]
+        if doc_ids[i] is None:
+            reasons[i] = "null_doc_id"
+        elif _is_null_cell(ks):
+            reasons[i] = "null_spans"
+        elif any(k is None for k in ks) or any(
+            _is_null_cell(o) for o in offs_col[i]
+        ):
+            reasons[i] = "malformed_span"
     ok = np.array([r is None for r in reasons], dtype=bool)
 
     counts = np.fromiter(
-        (len(s) if (ok[i] and s is not None) else 0 for i, s in enumerate(spans_col)),
+        (len(kinds_col[i]) if ok[i] else 0 for i in range(n_docs)),
         dtype=np.int64,
         count=n_docs,
     )
@@ -87,11 +103,27 @@ def _assemble_batch(pdf: pd.DataFrame, classify) -> pd.DataFrame:
     doc_pos = np.repeat(np.arange(n_docs), counts)
 
     if total:
-        flat = [d for i, s in enumerate(spans_col) if counts[i] for d in s]
-        kind = np.array([d["kind"] for d in flat], dtype=object)
-        text = np.array([d["text"] for d in flat], dtype=object)
-        media_ref = np.array([d["media_ref"] for d in flat], dtype=object)
-        offset = np.fromiter((d["offset"] for d in flat), dtype=np.int64, count=total)
+        sel = np.flatnonzero(counts)
+        kind = np.fromiter(
+            chain.from_iterable(kinds_col[i] for i in sel),
+            dtype=object,
+            count=total,
+        )
+        text = np.fromiter(
+            chain.from_iterable(texts_col[i] for i in sel),
+            dtype=object,
+            count=total,
+        )
+        media_ref = np.fromiter(
+            chain.from_iterable(refs_col[i] for i in sel),
+            dtype=object,
+            count=total,
+        )
+        offset = np.fromiter(
+            chain.from_iterable(offs_col[i] for i in sel),
+            dtype=np.int64,
+            count=total,
+        )
         # storage index within each doc (stable-sort tiebreak):
         # arange minus each row's doc start, all vectorized
         doc_starts = np.cumsum(counts) - counts
@@ -101,41 +133,29 @@ def _assemble_batch(pdf: pd.DataFrame, classify) -> pd.DataFrame:
         content = np.asarray(classify(pd.Series(text)), dtype=bool)
         keep = is_media | content
 
-        # media resolution through the fused winner map (python-dict
-        # lookup; runs over media rows only)
-        resolved = text.copy()
-        for i in np.flatnonzero(is_media):
-            fm = fused_col[doc_pos[i]]
-            if fm:
-                hit = fm.get(int(offset[i]))
-                if hit is not None:
-                    resolved[i] = hit["t"]
-
         order_sort = np.lexsort((idx, offset, doc_pos))
         kept = order_sort[keep[order_sort]]  # sorted by (doc, offset, idx)
         kd = doc_pos[kept]
         kept_counts = np.bincount(kd, minlength=n_docs)
-        kept_starts = np.cumsum(kept_counts) - kept_counts
-        dense_order = np.arange(len(kept)) - kept_starts[kd]
+        cuts = np.cumsum(kept_counts)[:-1]
 
-        span_dicts = [
-            {"kind": k, "text": t, "media_ref": m, "order": int(o)}
-            for k, t, m, o in zip(
-                kind[kept], resolved[kept], media_ref[kept], dense_order
-            )
-        ]
-        bounds = np.cumsum(kept_counts)
-        per_doc = [
-            span_dicts[a:b] for a, b in zip(np.r_[0, bounds[:-1]], bounds)
-        ]
+        kinds_out = [a.tolist() for a in np.split(kind[kept], cuts)]
+        texts_out = [a.tolist() for a in np.split(text[kept], cuts)]
+        refs_out = [a.tolist() for a in np.split(media_ref[kept], cuts)]
     else:
-        per_doc = [[] for _ in range(n_docs)]
+        kinds_out = [[] for _ in range(n_docs)]
+        texts_out = [[] for _ in range(n_docs)]
+        refs_out = [[] for _ in range(n_docs)]
 
-    statuses = [
-        {"ok": reasons[i] is None, "reason": reasons[i]} for i in range(n_docs)
-    ]
     return pd.DataFrame(
-        {"doc_id": doc_ids, "spans": per_doc, "status": statuses}
+        {
+            "doc_id": doc_ids,
+            "kinds": kinds_out,
+            "texts": texts_out,
+            "refs": refs_out,
+            "ok": ok,
+            "reason": np.array(reasons, dtype=object),
+        }
     )
 
 
@@ -154,16 +174,15 @@ def extract_pandas_engine(
 
       "auto" (default)  the built-in "density" classifier routes
                         through the zero-copy mapInArrow kernel
-                        (operators/extract_arrow.py) — measured ~2.7x
-                        faster than the pandas kernel, whose residual
-                        cost is the Arrow->python-dict conversion of
-                        the nested span structs, not the math; a
-                        custom/callable classifier (a learned model
-                        expecting pandas Series) falls back to the
-                        pandas kernel automatically.
+                        (operators/extract_arrow.py); a custom/callable
+                        classifier (a learned model expecting pandas
+                        Series) falls back to the pandas kernel
+                        automatically.
       "pandas"          force the vectorized pandas kernel — the
-                        compatibility escape hatch for classifiers
-                        that genuinely need pandas in/out.
+                        escape hatch for classifiers that genuinely
+                        need pandas in/out.  The crossing is parallel
+                        primitive arrays (module docstring), so its
+                        cost is within ~2x of the pure-HOF plan.
       "arrow"           force the arrow kernel (default classifier
                         only).
 
@@ -203,6 +222,26 @@ def extract_pandas_engine(
             "fused_map", F.lit(None).cast("map<int,struct<t:string,c:double>>")
         )
 
+    # JVM-side media resolution + flattening to parallel primitive
+    # arrays — the exact resolution expression of the HOF path
+    # (extract.assemble_expr), so the kernel never crosses a map or a
+    # struct through Arrow.
+    fm = F.col("fused_map")
+    flat = prepped.select(
+        "doc_id",
+        F.transform("spans", lambda s: s["kind"]).alias("kinds"),
+        F.transform(
+            "spans",
+            lambda s: F.when(
+                (s["kind"] == F.lit("media"))
+                & F.element_at(fm, s["offset"]).isNotNull(),
+                F.element_at(fm, s["offset"])["t"],
+            ).otherwise(s["text"]),
+        ).alias("texts"),
+        F.transform("spans", lambda s: s["media_ref"]).alias("refs"),
+        F.transform("spans", lambda s: s["offset"]).alias("offsets"),
+    )
+
     # A name is resolved lazily per worker against the module-level
     # registry (classifiers registered at import time); a callable is
     # shipped in the task closure via cloudpickle.  Mirrors the
@@ -223,4 +262,20 @@ def extract_pandas_engine(
         for pdf in batches:
             yield _assemble_batch(pdf, classify)
 
-    return prepped.mapInPandas(run, schema=_OUT_SCHEMA)
+    raw = flat.mapInPandas(run, schema=_KERNEL_OUT_SCHEMA)
+    # Re-zip the parallel arrays into the span structs JVM-side; the
+    # dense per-doc ``order`` is just the post-keep position, so the
+    # indexed transform reconstructs it for free.
+    return raw.select(
+        "doc_id",
+        F.transform(
+            F.arrays_zip("kinds", "texts", "refs"),
+            lambda x, i: F.struct(
+                x["kinds"].alias("kind"),
+                x["texts"].alias("text"),
+                x["refs"].alias("media_ref"),
+                i.cast("int").alias("order"),
+            ),
+        ).alias("spans"),
+        F.struct(F.col("ok"), F.col("reason")).alias("status"),
+    )

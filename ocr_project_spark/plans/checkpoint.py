@@ -24,6 +24,26 @@ rather than appends data partitions, making bucket replay idempotent —
 re-extraction of a bucket is deterministic, so replay converges to the
 same rows.  This mirrors Iceberg's snapshot-commit semantics with the
 watermark append as the commit point.
+
+Concurrency contract (tested:
+tests/test_plans.py::test_checkpoint_interleaved_commit_converges):
+
+* **Stale double-commits converge.**  A writer that crashed in the
+  data->watermark gap may come back and append its watermark AFTER a
+  takeover writer already re-committed the bucket.  This is safe by
+  construction: data partitions are overwritten (never appended) by a
+  deterministic job, and duplicate watermark rows collapse to one
+  commit (``completed_buckets`` reads DISTINCT bucket per run_id) —
+  the snapshot log tolerates the late commit exactly like Iceberg's
+  retry-after-commit-conflict path.
+* **One ACTIVE writer per (out_dir, run_id).**  Two writers executing
+  the SAME bucket's data overwrite concurrently is the one case the
+  plain-parquet stand-in cannot isolate: a reader (including the
+  lineage-stats pass) can observe a partially-rewritten partition
+  directory mid-overwrite.  A real deployment gets this from Iceberg's
+  atomic snapshot swap; here the constraint is on the operator —
+  coordinate takeovers so the previous writer is dead before the next
+  starts (the crash/resume path above, not a live-live race).
 """
 
 from __future__ import annotations

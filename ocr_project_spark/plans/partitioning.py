@@ -142,6 +142,18 @@ def chunk_documents(
     chunk boundary is also an offset boundary; reassembly can then
     simply concatenate chunks in chunk_id order.  Empty/null span
     arrays keep one empty chunk so no document is lost.
+
+    The sorted array is MATERIALIZED in its own projection before the
+    per-chunk transform references it — the standard HOF-recompute
+    trap (functions/text.chunk_tokens docstring): an inline
+    ``array_sort(...)`` subexpression inside the chunk lambda is
+    re-evaluated once PER CHUNK, which on the mega-docs this operator
+    exists for means re-sorting and re-building the full span array
+    n/chunk times — O(n^2/chunk) struct+string churn per document.
+    Measured on the skewed bench corpus (P99 span count 12000): 19.1 s
+    inline vs 2.1 s materialized for the full extract_chunked pipeline
+    (plain extract: 1.5 s — see PLANS.md "skewed-corpus bench" for the
+    chunker crossover analysis).
     """
     indexed = F.transform(
         F.coalesce(F.col("spans"), F.array()),
@@ -153,7 +165,8 @@ def chunk_documents(
             s["media_ref"].alias("media_ref"),
         ),
     )
-    sorted_spans = F.array_sort(indexed)
+    with_sorted = docs.select("doc_id", F.array_sort(indexed).alias("_sorted"))
+    sorted_spans = F.col("_sorted")
     n_chunks = F.greatest(
         F.lit(1),
         F.ceil(F.size(sorted_spans) / F.lit(max_spans_per_chunk)).cast("int"),
@@ -184,7 +197,7 @@ def chunk_documents(
     # harness._spans_out_flat).  chunks is never empty (n_chunks >= 1),
     # so the post-filter only restores the type contract.
     return (
-        docs.select("doc_id", F.explode_outer(chunks).alias("_c"))
+        with_sorted.select("doc_id", F.explode_outer(chunks).alias("_c"))
         .where(F.col("_c").isNotNull())
         .select(
             "doc_id",

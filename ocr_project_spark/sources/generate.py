@@ -103,7 +103,10 @@ def _media_candidates(
 
 
 def generate_corpus(
-    n_docs: int = 200, base_seed: int = 42, mega_doc_every: int = 97
+    n_docs: int = 200,
+    base_seed: int = 42,
+    mega_doc_every: int = 97,
+    mega_span_count: int = 400,
 ) -> tuple[list[dict], list[dict]]:
     """Return (documents, candidates).
 
@@ -113,6 +116,11 @@ def generate_corpus(
     Edge cases injected at fixed indices (FIXTURES.md section 1): empty
     doc, all-boilerplate doc, single-span doc, mega-doc, duplicate
     offsets, shuffled storage order.
+
+    ``mega_span_count`` sizes the periodic mega-doc (default 400 — the
+    fixture contract).  The skewed-corpus benchmark raises it to
+    ~100x the regular P99 (12000) to reproduce the one-straggler-task
+    regime that motivates chunk_documents + AQE skew splitting.
     """
     docs: list[dict] = []
     cands: list[dict] = []
@@ -138,7 +146,7 @@ def generate_corpus(
             )
             continue
 
-        n_spans = 400 if (i % mega_doc_every == 50) else int(
+        n_spans = mega_span_count if (i % mega_doc_every == 50) else int(
             np.clip(rng.lognormal(2.2, 0.8), 3, 120)
         )
         spans = []
@@ -165,7 +173,11 @@ def generate_corpus(
 
 
 def write_corpus_parquet(
-    out_dir: str, n_docs: int = 200, base_seed: int = 42
+    out_dir: str,
+    n_docs: int = 200,
+    base_seed: int = 42,
+    mega_doc_every: int = 97,
+    mega_span_count: int = 400,
 ) -> tuple[str, str]:
     """Write documents_spans.parquet + media_candidates.parquet with pyarrow."""
     import os
@@ -173,7 +185,12 @@ def write_corpus_parquet(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    docs, cands = generate_corpus(n_docs=n_docs, base_seed=base_seed)
+    docs, cands = generate_corpus(
+        n_docs=n_docs,
+        base_seed=base_seed,
+        mega_doc_every=mega_doc_every,
+        mega_span_count=mega_span_count,
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     span_t = pa.struct(

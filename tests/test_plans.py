@@ -168,6 +168,77 @@ def test_checkpoint_resume_after_crash(spark, corpus, corpus_dfs, tmp_path):
     assert all(r["count"] == 1 for r in per_bucket)
 
 
+def test_checkpoint_interleaved_commit_converges(
+    spark, corpus, corpus_dfs, tmp_path, monkeypatch
+):
+    """Writer A crashes INSIDE the data-write -> watermark-append gap
+    (the window the module docstring's crash-atomicity argument is
+    about); writer B takes over and commits everything; then A's
+    delayed watermark append lands late — the stale double-commit an
+    Iceberg-style snapshot log must tolerate.  The committed table must
+    show no gaps and no duplicate documents, and resume must treat the
+    duplicated watermark rows as one commit."""
+    from ocr_project_spark import schema
+
+    docs_df, cands_df = corpus_dfs
+    ck = str(tmp_path / "ck_ic")
+    orig_append = checkpoint._append
+    fired = {"done": False}
+
+    def crash_before_watermark(df, path):
+        if path.endswith(checkpoint.WATERMARK_TABLE) and not fired["done"]:
+            fired["done"] = True
+            raise RuntimeError("crash between data write and watermark commit")
+        return orig_append(df, path)
+
+    monkeypatch.setattr(checkpoint, "_append", crash_before_watermark)
+    with pytest.raises(RuntimeError, match="between data write"):
+        checkpoint.run(
+            spark, docs_df, ck, "ric", candidates=cands_df,
+            n_buckets=8, bucket_batch_size=2,
+        )
+    monkeypatch.setattr(checkpoint, "_append", orig_append)
+
+    # the batch's data is orphaned-but-uncommitted: no watermark exists
+    assert checkpoint.completed_buckets(spark, ck, "ric") == set()
+
+    # writer B runs the whole job (replays the orphaned buckets —
+    # idempotent via dynamic partition overwrite + determinism)
+    checkpoint.run(
+        spark, docs_df, ck, "ric", candidates=cands_df,
+        n_buckets=8, bucket_batch_size=2,
+    )
+
+    # writer A's delayed watermark append lands AFTER B's commits
+    import time as _time
+
+    stale = [("ric", b, "committed", 0, _time.time_ns()) for b in (0, 1)]
+    orig_append(
+        spark.createDataFrame(stale, schema.WATERMARKS),
+        f"{ck}/{checkpoint.WATERMARK_TABLE}",
+    )
+
+    docs, cands = corpus
+    expected = {
+        k: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in v]
+        for k, v in oracle.extract_corpus(docs, cands).items()
+    }
+    raw = spark.read.parquet(f"{ck}/{checkpoint.OUTPUT_TABLE}")
+    assert to_dict(raw.drop("bucket")) == expected  # no gaps
+    assert raw.count() == raw.select("doc_id").distinct().count()  # no dupes
+
+    # duplicated watermark rows collapse to one commit per bucket
+    assert checkpoint.completed_buckets(spark, ck, "ric") == set(range(8))
+
+    # a fresh resume is a no-op: nothing pending, no new commits
+    wm_rows_before = checkpoint.read_watermarks(spark, ck).count()
+    checkpoint.run(
+        spark, docs_df, ck, "ric", candidates=cands_df,
+        n_buckets=8, bucket_batch_size=2,
+    )
+    assert checkpoint.read_watermarks(spark, ck).count() == wm_rows_before
+
+
 # ------------------------------------------------------------------ metrics
 def test_observed_counts(spark, corpus, corpus_dfs):
     docs_df, cands_df = corpus_dfs
