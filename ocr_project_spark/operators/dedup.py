@@ -140,14 +140,19 @@ def minhash_signatures(
     per doc per task, and each shingle is hashed exactly k times in a
     single pass (the Column form re-walks the shingle array per hash
     key)."""
-    sh = shingles(F.col(text_col), n)
+    # tokens materialized in their own projection BEFORE the shingle
+    # HOF — shingles(text) inline would re-run word_tokens once per
+    # transform element (the O(tokens^2) trap shingles_from_tokens
+    # documents; CollapseProject keeps the projection because _t is
+    # referenced more than once, so the split is load-bearing).
     # explode_outer, not explode: plain explode makes the optimizer
-    # infer `size(shingles(text)) > 0` and push it down, duplicating
-    # the shingle build into an interpreted scan Filter (shingles is
+    # infer `size(shingles) > 0` and push it down, duplicating the
+    # shingle build into an interpreted scan Filter (shingles is
     # never empty, so the inferred filter is pure waste); the
     # isNotNull post-filter restores exact explode semantics.
     ex = (
-        df.select(F.col(id_col).alias("id"), F.explode_outer(sh).alias("_s"))
+        df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t"))
+        .select("id", F.explode_outer(shingles_from_tokens(F.col("_t"), n)).alias("_s"))
         .where(F.col("_s").isNotNull())
     )
     agg = ex.groupBy("id").agg(
@@ -903,9 +908,16 @@ def duplicate_passages(
     the aggregate carries one partial per shingle per task regardless
     of how many documents share it.
     """
-    sh = shingles(F.col(text_col), n)
+    # tokens in their own projection first — an inline shingles(text)
+    # re-runs word_tokens per transform element (the O(tokens^2) trap
+    # shingles_from_tokens documents), which at 10x data dominated the
+    # whole flag pass before this split.
     ex = (
-        df.select(F.col(id_col).alias("id"), F.explode_outer(sh).alias("passage"))
+        df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t"))
+        .select(
+            "id",
+            F.explode_outer(shingles_from_tokens(F.col("_t"), n)).alias("passage"),
+        )
         .where(F.col("passage").isNotNull())
     )
     return (
@@ -947,8 +959,10 @@ def scrub_passages(
     integer arithmetic — no float ladder needed for the oracle.
 
     Shape at scale: the flag pass is duplicate_passages' single
-    map-side-combining aggregate, here keyed by ``xxhash64(passage)``
-    instead of the n-word string — the scrub side never needs the
+    map-side-combining aggregate, derived from the SAME (doc, pos,
+    hash) window table the scrub side explodes — the corpus is
+    tokenized and n-gram-hashed exactly once — and keyed by
+    ``xxhash64(passage)`` instead of the n-word string — the scrub side never needs the
     passage text, only its identity, so both the flag aggregate's
     shuffle and the window-explode join carry an 8-byte key where a
     ~`n` x avg-word-length string would otherwise ride per (doc, pos)
@@ -992,18 +1006,19 @@ def scrub_passages(
     )
     # hash-keyed flag pass: same aggregate as duplicate_passages but the
     # shuffle key (and witness join key) is xxhash64(passage), so the
-    # passage string never leaves the map side
-    sh = shingles(F.col(text_col), n)
-    ex = (
-        df.select(F.col(id_col).alias("id"), F.explode_outer(sh).alias("passage"))
-        .where(F.col("passage").isNotNull())
-        .select("id", F.xxhash64("passage").alias("ph"))
-    )
+    # passage string never leaves the map side.  Derived from pos_sh
+    # itself — the corpus is tokenized and n-gram-hashed exactly ONCE;
+    # the per-doc window duplicates pos_sh carries (vs the per-doc
+    # array_distinct in duplicate_passages) are absorbed map-side by
+    # the countDistinct partial.  (A short doc's whole-text
+    # pseudo-shingle, which the flag-half API still emits, can never
+    # equal an n-token window — a k-token join has exactly k-1
+    # separators — so dropping it here is observably identical.)
     flagged = (
-        ex.groupBy("ph")
+        pos_sh.groupBy("ph")
         .agg(
-            F.countDistinct(F.struct("id")).alias("n_docs"),
-            F.min("id").alias("min_doc_id"),
+            F.countDistinct(F.struct("doc_id")).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
         )
         .where(F.col("n_docs") >= F.lit(min_docs))
         .select("ph", "min_doc_id")

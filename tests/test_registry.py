@@ -35,7 +35,10 @@ def test_entry_module_exposes_driver_contract():
     assert set(qs) == set(harness.SPARK_QUERIES)
     assert set(osql) == set(harness.ORACLE_SQL)
     # ordering is the sampling contract: never-checked/new entries first
-    assert list(qs)[:6] == [
-        "knn_join", "decontaminate", "hash_sample", "pack_sequences",
-        "repetition_stats", "curate_corpus",
+    # (round-4 rotation: the 12 curation/scoring queries that were
+    # local-only through round 3 lead the driver registry)
+    assert list(qs)[:12] == [
+        "lm_perplexity", "bm25_topk", "dsir_weights", "scrub_passages",
+        "rrf_hybrid", "semdedup", "mix_corpus", "clean_lines",
+        "gopher_rules", "scrub_pii", "source_cap", "dedup_lines",
     ]
