@@ -2372,12 +2372,17 @@ c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf GROUP BY w1, w2),
 c1 AS (SELECT w1, count(*) AS c1 FROM bgf GROUP BY w1),
 v AS (SELECT count(DISTINCT w) AS v FROM tok),
 sc AS (SELECT b.doc_id,
-              round(-ln((coalesce(c2.c2, 0) + 0.5)
-                        / (coalesce(c1.c1, 0) + 0.5 * v.v)), 6) AS nll
+              CAST(round(-ln((coalesce(c2.c2, 0) + 0.5)
+                             / (coalesce(c1.c1, 0) + 0.5 * v.v))
+                         * 1000000.0, 0) AS BIGINT) AS nllm
        FROM bgf b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
        CROSS JOIN v),
+-- per-doc NLL sum in exact integer micro units; 4-decimal mean by
+-- integer division (half away from zero) — mirrors the Spark side,
+-- where float rounding at the .00005 boundary differed across engines
 agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(sum(nll) / count(*), 4) AS avg_nll
+               ((2 * CAST(sum(nllm) AS BIGINT) + 100 * count(*))
+                // (200 * count(*))) / 10000.0 AS avg_nll
         FROM sc GROUP BY doc_id)
 SELECT doc_id, n_bigrams, avg_nll,
        round(exp(avg_nll), 4) AS ppl,
@@ -2571,15 +2576,25 @@ cr AS (SELECT bucket, count(*) AS cr FROM feat GROUP BY bucket),
 ns AS (SELECT (SELECT count(*) FROM feat WHERE lang = 'en') AS nt,
               (SELECT count(*) FROM feat) AS nr),
 ratio AS (SELECT bucket,
-                 round(ln((coalesce(ct, 0) + 0.5) / (ns.nt + 0.5 * 512)), 6)
-                 - round(ln((coalesce(cr, 0) + 0.5) / (ns.nr + 0.5 * 512)), 6)
-                   AS lr
+                 CAST(round((round(ln((coalesce(ct, 0) + 0.5)
+                                      / (ns.nt + 0.5 * 512)), 6)
+                             - round(ln((coalesce(cr, 0) + 0.5)
+                                        / (ns.nr + 0.5 * 512)), 6))
+                            * 1000000.0, 0) AS BIGINT)
+                   AS lrm
           FROM cr FULL OUTER JOIN ct USING (bucket) CROSS JOIN ns),
 per AS (SELECT f.doc_id, f.bucket, count(*) AS c
         FROM feat f GROUP BY f.doc_id, f.bucket),
-agg AS (SELECT per.doc_id, CAST(sum(per.c) AS BIGINT) AS n_feats,
-               round(sum(per.c * r.lr), 4) AS log_w
-        FROM per JOIN ratio r USING (bucket) GROUP BY per.doc_id)
+agg0 AS (SELECT per.doc_id, CAST(sum(per.c) AS BIGINT) AS n_feats,
+                CAST(sum(per.c * r.lrm) AS BIGINT) AS m
+         FROM per JOIN ratio r USING (bucket) GROUP BY per.doc_id),
+-- final 4-decimal rounding in INTEGER micro arithmetic (half away
+-- from zero), mirroring the Spark side: float rounding at the exact
+-- .00005 boundary differs between engines
+agg AS (SELECT doc_id, n_feats,
+               (CASE WHEN m < 0 THEN -((abs(m) + 50) // 100)
+                     ELSE (abs(m) + 50) // 100 END) / 10000.0 AS log_w
+        FROM agg0)
 SELECT d.doc_id,
        CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
        coalesce(a.log_w, 0.0) AS log_w

@@ -1029,8 +1029,11 @@ def lm_score(
     ``k`` defaults to 0.5 so numerator and denominator stay exactly
     representable (integer + half); the single division of identical
     doubles is correctly rounded hence identical IEEE; each addend's
-    ``ln`` is rounded to 6 decimals BEFORE the sum (bare libm ln may
-    differ by 1 ulp between engines); the mean is rounded to 4 and
+    ``ln`` is rounded to 6 decimals and scaled to an integer MICRO
+    value BEFORE the sum (bare libm ln may differ by 1 ulp between
+    engines, and float-sum association order differs too), the
+    per-doc sum is exact integer arithmetic, the 4-decimal mean is
+    rounded by integer division (half away from zero), and
     ``ppl``/``band`` are computed FROM the rounded mean.
 
     Shape at scale: the two training aggregates are map-side-combining
@@ -1092,14 +1095,35 @@ def lm_score(
     if broadcast_unigrams is None:
         broadcast_unigrams = vocab_size <= 2_000_000
     c1_side = F.broadcast(c1) if broadcast_unigrams else c1
+    # per-bigram NLL in integer MICRO units (round(-ln p, 6) scaled by
+    # 1e6): the per-doc sum is then exact integer arithmetic and the
+    # 4-decimal mean is rounded with integer division — float-sum
+    # association order and the BigDecimal-vs-float .00005 boundary
+    # (which flipped sf1 rows between Spark and DuckDB) cannot bite
     scored = (
         sb.join(c2, ["w1", "w2"], "left")
         .join(c1_side, ["w1"], "left")
-        .select("doc_id", F.round(-F.log(p), 6).alias("_nll"))
+        .select(
+            "doc_id",
+            F.round(-F.log(p) * F.lit(1e6), 0).cast("long").alias("_nllm"),
+        )
     )
-    agg = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("_nll") / F.count(F.lit(1)), 4).alias("avg_nll"),
+    agg = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_nllm").alias("_m"),
+        )
+        # round(m / (100·n)) half-up == (2m + 100n) div (200n); _m ≥ 0
+        # because p < 1 strictly (c2 ≤ c1 and k·V > k)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.expr("(2*_m + 100*n_bigrams) div (200*n_bigrams)")
+                / F.lit(1e4)
+            ).alias("avg_nll"),
+        )
     )
     out = agg.select(
         "doc_id",
@@ -1164,59 +1188,107 @@ def dsir_weights(
 
     Cross-engine determinism: the bucket hash is exact integer md5
     arithmetic; both per-bucket ``ln`` terms are rounded to 6 decimals
-    before their difference; the per-doc sum is rounded to 4.
+    before their difference, which is then scaled to integer MICRO
+    units (×1e6, rounded to a long) so the per-doc weighted sum is
+    exact integer arithmetic — association-order-proof at any corpus
+    size; log_w = round(micro_sum / 1e6, 4).
     ``k`` = 0.5 keeps every ratio's numerator/denominator exactly
     representable.
 
-    Shape at scale: two feature streams (narrow tokenize + explode),
-    two B-bounded hash aggregates for the count tables, one B-bounded
-    join to form the per-bucket log-ratio, then the scoring pass
-    re-aggregates the raw stream per (doc, bucket) and joins the
-    ratio table BROADCAST (≤ n_buckets rows by construction) — the
-    only corpus-scale exchange is the final per-doc sum, keyed by
-    doc_id.  N_target/N_raw are one scalar action each.
+    Shape at scale: each feature stream (narrow tokenize + explode)
+    runs EXACTLY ONCE — the raw stream aggregates straight to per-doc
+    feature vectors (doc_id, bucket, count), persisted, from which
+    the global count table, N_raw, and the scoring pass all derive;
+    the target stream feeds one B-bounded count aggregate whose sum
+    is N_target.  One B-bounded join forms the per-bucket log-ratio,
+    the scoring pass joins it BROADCAST (≤ n_buckets rows by
+    construction), and the only corpus-scale exchange is the per-doc
+    feature aggregate keyed by (doc_id, bucket).
     """
     tgt = _hashed_bigram_buckets(target_docs, id_col, text_col, n_buckets)
     raw = _hashed_bigram_buckets(docs, id_col, text_col, n_buckets)
-    ct = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
-    cr = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr"))
-    n_t = tgt.count()
-    n_r = raw.count()
+    # Per-doc feature vectors (doc_id, bucket, _c) materialized ONCE —
+    # the corpus-scale bigram stream is tokenized and md5-hashed a
+    # single time; the global count table, the N_raw total, and the
+    # scoring pass all derive from this table (the paper's hashed
+    # feature vectors, bounded per doc by min(doc bigrams, B)).
+    # Without it the raw stream ran three times: the count-table
+    # aggregate, an eager raw.count() action, and the scoring pass —
+    # measured 11.4 s -> ~5 s at sf1.  Persisted because the totals
+    # action below and the caller's eventual action both consume it
+    # (same convention as minhash_signatures' sigs persist).
+    dc = (
+        raw.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()
+    )
+    ct = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct")).persist()
+    cr = dc.groupBy("bucket").agg(F.sum("_c").alias("_cr"))
+    # totals from the aggregates themselves (B-bounded / cached) — no
+    # second pass over either corpus just to count positions
+    n_t = int(ct.agg(F.sum("_ct")).collect()[0][0] or 0)
+    n_r = int(dc.agg(F.sum("_c")).collect()[0][0] or 0)
 
     kf = float(k)
     denom_t = float(n_t) + kf * float(n_buckets)
     denom_r = float(n_r) + kf * float(n_buckets)
+    # per-bucket log-ratio in MICRO units (×1e6, rounded to integer):
+    # the two 6-decimal-rounded ln terms are identical doubles in any
+    # IEEE engine, so their difference scaled and rounded to a long is
+    # engine-identical — and the per-doc SUM below is then exact
+    # integer arithmetic, immune to float-addition association order
+    # (at sf1 the double-sum version flipped one row in 50k at the
+    # 4-decimal rounding boundary between Spark and the DuckDB oracle)
     ratio = (
         cr.join(ct, "bucket", "full_outer")
         .select(
             "bucket",
-            (
-                F.round(
-                    F.log(
-                        (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(kf))
-                        / F.lit(denom_t)
-                    ),
-                    6,
+            F.round(
+                (
+                    F.round(
+                        F.log(
+                            (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(kf))
+                            / F.lit(denom_t)
+                        ),
+                        6,
+                    )
+                    - F.round(
+                        F.log(
+                            (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(kf))
+                            / F.lit(denom_r)
+                        ),
+                        6,
+                    )
                 )
-                - F.round(
-                    F.log(
-                        (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(kf))
-                        / F.lit(denom_r)
-                    ),
-                    6,
-                )
-            ).alias("_lr"),
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("_lrm"),
         )
     )
 
     per_doc = (
-        raw.groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .join(F.broadcast(ratio), "bucket")
+        dc.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("_c").alias("n_feats"),
-            F.round(F.sum(F.col("_c") * F.col("_lr")), 4).alias("log_w"),
+            F.sum(F.col("_c") * F.col("_lrm")).alias("_m"),
+        )
+        # final 4-decimal rounding done in INTEGER arithmetic on the
+        # micro sum (half away from zero): micro sums ending in ..50
+        # sit exactly on the .00005 boundary, where Spark (BigDecimal
+        # of the shortest decimal string, HALF_UP) and DuckDB (float
+        # multiply-round) disagree — measured 27 docs in 50k at sf1.
+        # Integer rounding gives both engines the identical double.
+        .withColumn("_q", F.expr("(abs(_m) + 50L) div 100L"))
+        .select(
+            "doc_id",
+            "n_feats",
+            (
+                F.when(F.col("_m") < 0, -F.col("_q")).otherwise(F.col("_q"))
+                / F.lit(1e4)
+            ).alias("log_w"),
         )
     )
     # null-safe join-back: a null-id document's features aggregate
