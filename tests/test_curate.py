@@ -1057,3 +1057,29 @@ def test_cap_per_source_null_key_group_and_bad_cap(spark):
     assert len([r for r in out if r.source == "s"]) == 1
     with _pytest.raises(ValueError):
         cap_per_source(df, cap=0)
+
+
+def test_micro_sum_scores_sit_exactly_on_the_1e4_grid(spark):
+    """lm_score / dsir_weights round their per-doc float aggregates via
+    exact-integer micro arithmetic (the sf1 oracle gate caught Spark
+    and DuckDB rounding opposite ways at the .00005 boundary when the
+    sum was a float) — every emitted score must therefore sit exactly
+    on the 1e-4 grid, at any corpus size or partitioning."""
+    import pyspark.sql.functions as F
+
+    from ocr_project_spark.operators.curate import dsir_weights, lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * j) % 23}" for j in range(1, 40)))
+            for i in range(200)
+        ],
+        "doc_id long, text string",
+    ).repartition(7)
+    lm = lm_score(docs).collect()
+    assert len(lm) == 200
+    for r in lm:
+        assert abs(r.avg_nll * 1e4 - round(r.avg_nll * 1e4)) < 1e-6, r
+    tgt = docs.where(F.col("doc_id") % 5 == 0)
+    for r in dsir_weights(docs, tgt, n_buckets=64).collect():
+        assert abs(r.log_w * 1e4 - round(r.log_w * 1e4)) < 1e-6, r
