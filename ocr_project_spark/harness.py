@@ -2271,13 +2271,16 @@ dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
 n AS (SELECT count(*) AS n FROM documents),
 s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
              tf.tf * round(ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0, 6)
-               AS score
+               AS score,
+             tf.tf * CAST(round(round(ln((n.n + 1.0) / (dfq.df + 1.0))
+                                      + 1.0, 6) * 1000000.0, 0) AS BIGINT)
+               AS m
       FROM tf JOIN dfq USING (term) CROSS JOIN n),
-r AS (SELECT doc_id, term, tf, df, score,
+r AS (SELECT doc_id, term, tf, df, score, m,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY score DESC, term) AS rank
       FROM s)
-SELECT doc_id, term, tf, df, round(score, 4) AS tfidf,
+SELECT doc_id, term, tf, df, ((m + 50) // 100) / 10000.0 AS tfidf,
        CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 3
 """.format(toks=_WORD_TOKS.format(c="text"))
@@ -2438,13 +2441,17 @@ q AS (SELECT * FROM (VALUES (0, 'hash join merge'), (1, 'window sort order'),
                             (2, 'customer query stream')) AS t(query_id, qtext)),
 qt AS (SELECT DISTINCT query_id, unnest({qtoks}) AS term FROM q),
 m AS (SELECT qt.query_id, tf.doc_id,
-             round(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
-             * tf.tf * ({k1} + 1.0)
-             / (tf.tf + {k1} * ((1.0 - {b})
-                + ({b} * d.dl) / (CAST(s.sdl AS DOUBLE) / s.n))) AS part
+             CAST(round((round(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
+                         * tf.tf * ({k1} + 1.0)
+                         / (tf.tf + {k1} * ((1.0 - {b})
+                            + ({b} * d.dl) / (CAST(s.sdl AS DOUBLE) / s.n))))
+                        * 1000000.0, 0) AS BIGINT) AS partm
       FROM qt JOIN tf USING (term) JOIN dfq USING (term)
       JOIN dl d ON tf.doc_id = d.doc_id CROSS JOIN stats s),
-sc AS (SELECT query_id, doc_id, round(sum(part), 4) AS score
+-- per-pair sum in exact integer micro units; 4-decimal score by
+-- integer division (mirrors the Spark side's determinism ladder)
+sc AS (SELECT query_id, doc_id,
+              ((CAST(sum(partm) AS BIGINT) + 50) // 100) / 10000.0 AS score
        FROM m GROUP BY query_id, doc_id),
 r AS (SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id
@@ -2528,10 +2535,15 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_RRF = """
 WITH a AS ({bm25_a}),
 bq AS ({bm25_b}),
-u AS (SELECT query_id, doc_id, round(1.0 / (60.0 + rank), 6) AS rr FROM a
+u AS (SELECT query_id, doc_id,
+             CAST(round(round(1.0 / (60.0 + rank), 6) * 1000000.0, 0) AS BIGINT) AS rrm
+      FROM a
       UNION ALL
-      SELECT query_id, doc_id, round(1.0 / (60.0 + rank), 6) AS rr FROM bq),
-f AS (SELECT query_id, doc_id, round(sum(rr), 4) AS rrf_score,
+      SELECT query_id, doc_id,
+             CAST(round(round(1.0 / (60.0 + rank), 6) * 1000000.0, 0) AS BIGINT) AS rrm
+      FROM bq),
+f AS (SELECT query_id, doc_id,
+             ((CAST(sum(rrm) AS BIGINT) + 50) // 100) / 10000.0 AS rrf_score,
              CAST(count(*) AS BIGINT) AS n_lists
       FROM u GROUP BY query_id, doc_id),
 r AS (SELECT query_id, doc_id, rrf_score, n_lists,

@@ -793,7 +793,11 @@ def tfidf_top_terms(
     double on Spark and any SQL oracle (integer x short-decimal
     double; bare ``ln`` may differ by 1 ulp between libm builds);
     score ties break on ``term`` ascending, so the top-k cut is
-    deterministic.
+    deterministic.  The OUTPUT ``tfidf`` value is rounded to 4
+    decimals in exact integer micro arithmetic (tf × idf_micro),
+    because tf times a 6-decimal idf lands exactly on the .00005
+    float-rounding boundary whenever tf·idf_micro ≡ 50 (mod 100) —
+    the engine-divergence class the sf1 gate caught in dsir/lm.
 
     Shape: tokenize once in a projection, explode (narrow), count per
     (doc, term) — a map-side-combining shuffle on balanced composite
@@ -839,7 +843,20 @@ def tfidf_top_terms(
         F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
     )
     s = tf.join(dfq, "term").select(
-        "doc_id", "term", "tf", "df", (F.col("tf") * idf).alias("_score")
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        # ranking key: the raw product (integer × 6-decimal double, one
+        # IEEE multiply — identical in any engine, maximal resolution)
+        (F.col("tf") * idf).alias("_score"),
+        # output value: exact integer micro product, so the 4-decimal
+        # rounding below never hits the .00005 float boundary (tf ×
+        # a 6-decimal idf lands there whenever tf·idf_micro ≡ 50 mod
+        # 100 — the dsir/lm engine-divergence class)
+        (F.round(idf * F.lit(1e6), 0).cast("long") * F.col("tf")).alias(
+            "_m"
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("_score").desc(), "term")
     return (
@@ -850,7 +867,7 @@ def tfidf_top_terms(
             "term",
             "tf",
             "df",
-            F.round(F.col("_score"), 4).alias("tfidf"),
+            (F.expr("(_m + 50L) div 100L") / F.lit(1e4)).alias("tfidf"),
             "rank",
         )
     )
@@ -1036,9 +1053,9 @@ def lm_score(
     rounded by integer division (half away from zero), and
     ``ppl``/``band`` are computed FROM the rounded mean.
 
-    Shape at scale: the two training aggregates are map-side-combining
-    shuffles on (w1,w2) / (w1) — vocabulary-scale outputs, corpus-scale
-    inputs.  Scoring left-joins the bigram stream against the counts:
+    Shape at scale: ONE corpus-scale map-side-combining training
+    aggregate on (w1,w2), persisted; the context-count table is its
+    w1-marginal (vocabulary-scale input), not a second corpus pass.  Scoring left-joins the bigram stream against the counts:
     the unigram-context side is broadcast when the vocabulary is known
     to fit (``broadcast_unigrams``: None = auto, broadcast iff the
     resolved vocab_size ≤ 2M contexts; a web-scale tens-of-millions
@@ -1063,7 +1080,17 @@ def lm_score(
 
     train = train_docs if train_docs is not None else docs
     tb = _bigram_stream(train, id_col, text_col)
-    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    # ONE corpus-scale aggregate over the training bigram stream —
+    # c(w1) is exactly the w1-marginal of the UNPRUNED c(w1,w2) table,
+    # so the context counts aggregate a vocabulary-scale input instead
+    # of re-running the corpus stream (which also re-tokenized every
+    # training document a second time).  Persisted because the bigram
+    # side, the context marginal, and the scoring joins all consume it
+    # (the dsir_weights feature-vector convention).
+    c2_raw = (
+        tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2")).persist()
+    )
+    c2 = c2_raw
     if vocab_size is not None and vocab_size <= 0:
         raise ValueError(
             f"vocab_size must be positive, got {vocab_size} — an empty "
@@ -1072,7 +1099,8 @@ def lm_score(
         )
     if min_count > 1:
         c2 = c2.where(F.col("_c2") >= F.lit(min_count))
-    c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    # pre-pruning marginal: the denominator keeps the true context mass
+    c1 = c2_raw.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
     if vocab_size is None:
         vocab_size = (
             train.select(

@@ -713,8 +713,14 @@ def bm25_topk(
         .join(dfq, "term")
         .select("query_id", "doc_id", part.alias("_part"))
     )
-    scored = matched.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("_part"), 4).alias("score")
+    scored = (
+        matched.groupBy("query_id", "doc_id")
+        .agg(F.sum("_part").alias("_m"))
+        .select(
+            "query_id",
+            "doc_id",
+            (F.expr("(_m + 50L) div 100L") / F.lit(1e4)).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
@@ -787,7 +793,14 @@ def _bm25_part(n_docs: int, avgdl: float, k1: float, b: float) -> Column:
         F.lit(1.0 - float(b))
         + F.lit(float(b)) * F.col("dl") / F.lit(float(avgdl))
     )
-    return idf * F.col("tf") * F.lit(float(k1) + 1.0) / (F.col("tf") + norm)
+    part = (
+        idf * F.col("tf") * F.lit(float(k1) + 1.0) / (F.col("tf") + norm)
+    )
+    # integer MICRO units: the per-(query, doc) sum of parts is then
+    # exact integer arithmetic (association-order-proof) and the final
+    # 4-decimal rounding avoids the .00005 float boundary where Spark
+    # and a SQL oracle round apart (the dsir/lm convention)
+    return F.round(part * F.lit(1e6), 0).cast("long")
 
 
 def bm25_topk_grid(
@@ -845,11 +858,21 @@ def bm25_topk_grid(
             ],
         )
     )
-    scored = matched.groupBy("query_id", "doc_id").agg(
-        *[
-            F.round(F.sum(f"_p{i}"), 4).alias(f"_s{i}")
-            for i in range(len(params))
-        ]
+    scored = (
+        matched.groupBy("query_id", "doc_id")
+        .agg(
+            *[F.sum(f"_p{i}").alias(f"_m{i}") for i in range(len(params))]
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            *[
+                (F.expr(f"(_m{i} + 50L) div 100L") / F.lit(1e4)).alias(
+                    f"_s{i}"
+                )
+                for i in range(len(params))
+            ],
+        )
     )
     long = scored.select(
         "query_id",
@@ -874,6 +897,17 @@ def bm25_topk_grid(
         .where(F.col("rank") <= F.lit(top_n))
         .select("param_id", "query_id", "doc_id", "score", "rank")
     )
+
+
+def _rr_micro(k: int, rank_col: str):
+    """1/(k + rank) rounded to 6 decimals, scaled to an integer MICRO
+    value — addends pinned per the determinism ladder, and the fused
+    sum stays exact integer arithmetic at any list count."""
+    return F.round(
+        F.round(F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)), 6)
+        * F.lit(1e6),
+        0,
+    ).cast("long")
 
 
 def rrf_fuse(
@@ -901,7 +935,9 @@ def rrf_fuse(
     Cross-engine determinism: each reciprocal 1/(k + rank) is rounded
     to 6 decimals (the division itself is exact-input IEEE but the
     SUM of reciprocals is order-sensitive, so the addends are pinned
-    first); the fused sum is rounded to 4 BEFORE the ranking window.
+    first) and scaled to an integer MICRO value; the fused sum is
+    exact integer arithmetic, rounded to 4 decimals by integer
+    division BEFORE the ranking window.
 
     Shape at scale: a union of the (already small, top-n-per-query)
     ranking tables, one map-side-combining aggregate on
@@ -922,9 +958,7 @@ def rrf_fuse(
         u = rankings.select(
             F.col(query_id_col).alias("query_id"),
             F.col(doc_id_col).alias("doc_id"),
-            F.round(
-                F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)), 6
-            ).alias("_rr"),
+            _rr_micro(k, rank_col).alias("_rrm"),
         )
     else:
         if len(rankings) < 2:
@@ -937,17 +971,27 @@ def rrf_fuse(
                 r.select(
                     F.col(query_id_col).alias("query_id"),
                     F.col(doc_id_col).alias("doc_id"),
-                    F.round(
-                        F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)), 6
-                    ).alias("_rr"),
+                    _rr_micro(k, rank_col).alias("_rrm"),
                 )
             )
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-    fused = u.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("_rr"), 4).alias("rrf_score"),
-        F.count(F.lit(1)).alias("n_lists"),
+    fused = (
+        u.groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("_rrm").alias("_m"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        # 4-decimal rounding in exact integer micro arithmetic (the
+        # dsir/lm convention): a micro sum ending in ..50 sits on the
+        # .00005 boundary where Spark and a SQL oracle round apart
+        .select(
+            "query_id",
+            "doc_id",
+            (F.expr("(_m + 50L) div 100L") / F.lit(1e4)).alias("rrf_score"),
+            "n_lists",
+        )
     )
     from pyspark.sql import Window
 

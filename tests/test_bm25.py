@@ -17,13 +17,15 @@ DOCS = [
 
 
 def _score(pairs, n_docs, avgdl, k1=1.2, b=0.75):
-    """Reference scoring: pairs = [(tf, df, dl), ...] per matched term."""
-    total = 0.0
+    """Reference scoring: pairs = [(tf, df, dl), ...] per matched term.
+    Mirrors the engine's integer-micro ladder: each part rounds to a
+    micro int, the sum is exact, the 4-decimal cut is integer div."""
+    m = 0
     for tf, df, dl in pairs:
         idf = round(math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
         norm = k1 * ((1.0 - b) + (b * dl) / avgdl)
-        total += idf * tf * (k1 + 1.0) / (tf + norm)
-    return round(total, 4)
+        m += round(idf * tf * (k1 + 1.0) / (tf + norm) * 1e6)
+    return ((m + 50) // 100) / 1e4
 
 
 def test_bm25_hand_computed(spark):
@@ -102,11 +104,14 @@ def test_rrf_hand_computed_and_tiebreak(spark):
     rows = {r.doc_id: r for r in rrf_fuse([a, b], k=60, top_n=10).collect()}
 
     def rr(rank):
-        return round(1.0 / (60.0 + rank), 6)
+        return round(round(1.0 / (60.0 + rank), 6) * 1e6)
 
-    assert rows[11].rrf_score == pytest.approx(round(rr(2) + rr(1), 4), abs=1e-9)
+    def fuse(*ranks):
+        return ((sum(rr(r) for r in ranks) + 50) // 100) / 1e4
+
+    assert rows[11].rrf_score == pytest.approx(fuse(2, 1), abs=1e-9)
     assert rows[11].n_lists == 2
-    assert rows[10].rrf_score == pytest.approx(round(rr(1), 4), abs=1e-9)
+    assert rows[10].rrf_score == pytest.approx(fuse(1), abs=1e-9)
     assert rows[10].n_lists == 1
     # doc 11 (in both lists) outranks everything
     assert rows[11].rank == 1
