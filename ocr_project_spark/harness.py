@@ -2736,12 +2736,16 @@ SELECT d.doc_id,
        COALESCE(n_grams, 0) AS n_grams,
        COALESCE(distinct_grams, 0) AS distinct_grams,
        COALESCE(top_gram_n, 0) AS top_gram_n,
-       round(CASE WHEN COALESCE(n_grams, 0) > 0
-                  THEN (n_grams - distinct_grams) * 1.0 / n_grams
-                  ELSE 0.0 END, 3) AS dup_gram_frac,
-       round(CASE WHEN COALESCE(n_grams, 0) > 0
-                  THEN top_gram_n * 1.0 / n_grams
-                  ELSE 0.0 END, 3) AS top_gram_frac
+       -- 3-decimal fracs by integer division (half away from zero),
+       -- mirroring the Spark side: a ratio exactly on the .0005 grid
+       -- rounds differently between engines as a float
+       CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN ((2000 * (n_grams - distinct_grams) + n_grams)
+                  // (2 * n_grams)) / 1000.0
+            ELSE 0.0 END AS dup_gram_frac,
+       CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN ((2000 * top_gram_n + n_grams) // (2 * n_grams)) / 1000.0
+            ELSE 0.0 END AS top_gram_frac
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN s USING (doc_id)
 """.format(toks=_WORD_TOKS.format(c="text"))

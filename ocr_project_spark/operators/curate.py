@@ -536,62 +536,92 @@ def repetition_stats(
     documents with fewer than ``n`` tokens keep a row of zeros.
 
     Shape: tokenize ONCE in a projection (HOF lambdas re-evaluate
-    inline subexpressions per element), explode n-grams (narrow),
-    count per (doc, gram), aggregate per doc — two shuffles on
-    (doc_id, gram) then doc_id, both key-balanced.
+    inline subexpressions per element), hash each n-gram window to a
+    64-bit key, array_sort the per-row key array, and fold it in one
+    linear aggregate() pass — distinct count and max multiplicity
+    (= longest equal-run of the sorted array) per document with ZERO
+    Exchange nodes: the metrics are per-document, so nothing ever
+    needs to leave the row, and the plan is embarrassingly parallel
+    at any corpus size.  (The previous shape paid two corpus-scale
+    shuffles — explode → groupBy(doc, gram) → groupBy(doc) → join
+    back — for what one row-local pass computes.)
     """
     from ocr_project_spark.functions.text import word_tokens
 
     t = docs.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t")
     )
+    # gram identity = xxhash64 of the n-token slice ARRAY (element
+    # boundaries folded by the hash) — the counts only need gram
+    # EQUALITY, so the shuffle carries an 8-byte key per position and
+    # the per-window string build disappears from the transform; a
+    # 64-bit collision merging two distinct grams inside one document
+    # has probability ~grams²·2⁻⁶⁴ — negligible at any real doc size
     grams = F.when(
         F.size(F.col("_t")) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(F.col("_t")) - n),
-            lambda i: F.array_join(F.slice(F.col("_t"), i + 1, n), " "),
+            lambda i: F.xxhash64(F.slice(F.col("_t"), i + 1, n)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    # explode_outer + isNotNull (not plain explode): the optimizer
-    # would infer size>0 and duplicate the gram transform into a
-    # scan-level Filter
-    g = (
-        t.select("doc_id", F.explode_outer(grams).alias("g"))
-        .where(F.col("g").isNotNull())
-    )
-    per = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    stats = per.groupBy("doc_id").agg(
-        F.sum("c").alias("n_grams"),
-        F.count(F.lit(1)).alias("distinct_grams"),
-        F.max("c").alias("top_gram_n"),
-    )
-    ng = F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams")
-    dg = F.coalesce(F.col("distinct_grams"), F.lit(0)).alias("distinct_grams")
-    tg = F.coalesce(F.col("top_gram_n"), F.lit(0)).alias("top_gram_n")
-    safe = F.coalesce(F.col("n_grams"), F.lit(0)) > 0
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(stats, "doc_id", "left")
-        .select(
-            "doc_id",
-            ng,
-            dg,
-            tg,
-            F.round(
-                F.when(
-                    safe,
-                    (F.col("n_grams") - F.col("distinct_grams"))
-                    / F.col("n_grams"),
-                ).otherwise(F.lit(0.0)),
-                3,
-            ).alias("dup_gram_frac"),
-            F.round(
-                F.when(safe, F.col("top_gram_n") / F.col("n_grams")).otherwise(
-                    F.lit(0.0)
-                ),
-                3,
-            ).alias("top_gram_frac"),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # The metrics are PURELY per-document, so no shuffle is needed at
+    # all: sort the per-row gram-hash array and fold it once — the
+    # distinct count and the longest equal-run (== max multiplicity)
+    # fall out of one linear pass.  The previous shape (explode →
+    # groupBy(doc, gram) → groupBy(doc) → join back) paid two
+    # corpus-scale exchanges for per-row arithmetic; this plan has
+    # ZERO Exchange nodes and every doc row already carries its
+    # answer — the embarrassingly-parallel shape 10^12 docs want.
+    t2 = t.select("doc_id", F.array_sort(grams).alias("_g"))
+
+    def _step(acc, x):
+        same = (acc["d"] != 0) & (x == acc["p"])
+        r = F.when(same, acc["r"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            x.alias("p"),
+            r.alias("r"),
+            F.when(same, acc["d"]).otherwise(acc["d"] + 1).alias("d"),
+            F.greatest(acc["m"], r).alias("m"),
         )
+
+    zero = F.lit(0).cast("bigint")
+    acc0 = F.struct(
+        zero.alias("p"), zero.alias("r"), zero.alias("d"), zero.alias("m")
+    )
+    # _st materialized in its own projection: selecting two fields from
+    # an inline aggregate() would re-run the whole fold per field
+    # (CollapseProject keeps the split because _st is referenced twice)
+    t3 = t2.select(
+        "doc_id",
+        F.size("_g").cast("long").alias("n_grams"),
+        F.aggregate(F.col("_g"), acc0, _step).alias("_st"),
+    )
+    safe = F.col("n_grams") > 0
+    # 3-decimal fracs rounded in INTEGER arithmetic — round(a/b, 3)
+    # == (2000a + b) div (2b) / 1e3 for non-negative a — because a
+    # ratio landing exactly on the .0005 grid rounds differently in
+    # Spark (BigDecimal HALF_UP) vs a float-multiplying SQL engine
+    return t3.select(
+        "doc_id",
+        "n_grams",
+        F.col("_st")["d"].alias("distinct_grams"),
+        F.col("_st")["m"].alias("top_gram_n"),
+        F.when(
+            safe,
+            F.expr(
+                "(2000 * (n_grams - _st.d) + n_grams) div (2 * n_grams)"
+            )
+            / F.lit(1e3),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_frac"),
+        F.when(
+            safe,
+            F.expr("(2000 * _st.m + n_grams) div (2 * n_grams)")
+            / F.lit(1e3),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_gram_frac"),
     )
 
 

@@ -962,7 +962,9 @@ def scrub_passages(
     map-side-combining aggregate, derived from the SAME (doc, pos,
     hash) window table the scrub side explodes — the corpus is
     tokenized and n-gram-hashed exactly once — and keyed by
-    ``xxhash64(passage)`` instead of the n-word string — the scrub side never needs the
+    ``xxhash64`` of the n-token window ARRAY (equal keys iff equal
+    token windows; no per-window string build) instead of the n-word
+    string — the scrub side never needs the
     passage text, only its identity, so both the flag aggregate's
     shuffle and the window-explode join carry an 8-byte key where a
     ~`n` x avg-word-length string would otherwise ride per (doc, pos)
@@ -987,15 +989,17 @@ def scrub_passages(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t")
     )
     cnt = F.size(F.col("_t"))
+    # window key = xxhash64 of the n-token slice ARRAY — array hashing
+    # folds element boundaries, so equal keys <=> equal token windows
+    # (strictly cleaner than hashing a joined string) and the per-
+    # window string build disappears from the hot transform entirely
     windows = F.when(
         cnt >= n,
         F.transform(
             F.sequence(F.lit(0), cnt - n),
             lambda i: F.struct(
                 i.alias("pos"),
-                F.xxhash64(
-                    F.array_join(F.slice(F.col("_t"), i + 1, n), " ")
-                ).alias("ph"),
+                F.xxhash64(F.slice(F.col("_t"), i + 1, n)).alias("ph"),
             ),
         ),
     )

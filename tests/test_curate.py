@@ -1083,3 +1083,28 @@ def test_micro_sum_scores_sit_exactly_on_the_1e4_grid(spark):
     tgt = docs.where(F.col("doc_id") % 5 == 0)
     for r in dsir_weights(docs, tgt, n_buckets=64).collect():
         assert abs(r.log_w * 1e4 - round(r.log_w * 1e4)) < 1e-6, r
+
+
+def test_repetition_stats_plan_is_exchange_free(spark):
+    """The metrics are per-document, so the plan must never shuffle:
+    one projection chain (tokenize -> hash windows -> sort -> fold),
+    zero Exchange nodes at any parallelism."""
+    from ocr_project_spark.operators.curate import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "a b a b c " * (i % 4 + 1)) for i in range(50)],
+        "doc_id string, text string",
+    ).repartition(5)
+    out = repetition_stats(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the input repartition above is the only permitted exchange
+    assert plan.count("Exchange") <= 1, plan[:2000]
+    r = {x.doc_id: x for x in out.collect()}
+    assert len(r) == 50
+    # d0: "a b a b c " -> bigrams ab,ba,ab,bc -> 4 grams, 3 distinct,
+    # top multiplicity 2
+    assert (r["d0"].n_grams, r["d0"].distinct_grams, r["d0"].top_gram_n) == (
+        4,
+        3,
+        2,
+    )
