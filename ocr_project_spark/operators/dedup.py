@@ -1003,10 +1003,16 @@ def scrub_passages(
             ),
         ),
     )
+    # persisted: the flag aggregate AND the blocked-join probe side
+    # both scan this table — without the persist the whole tokenize +
+    # window-hash lineage executes twice in the one query (measured
+    # ~3.3 s per execution at sf1 on a 75 MB cached footprint; the
+    # dsir_weights feature-vector convention)
     pos_sh = (
         t.select("doc_id", F.explode_outer(windows).alias("_w"))
         .where(F.col("_w").isNotNull())
         .select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.ph").alias("ph"))
+        .persist()
     )
     # hash-keyed flag pass: same aggregate as duplicate_passages but the
     # shuffle key (and witness join key) is xxhash64(passage), so the
