@@ -20,7 +20,18 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    # Only force a master when one was explicitly requested (argument
+    # or env).  Under `spark-submit --master spark://...` the submit
+    # args already carry the cluster master, and calling .master()
+    # here would silently override it back to local[*] — the job would
+    # "run" while the cluster sat idle (caught by
+    # tools/cluster_submit_bench.sh: both cluster sizes measured
+    # identical throughput because neither was actually used).
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # PYSPARK_GATEWAY_PORT marks a spark-submit-owned JVM gateway,
+        # whose SparkConf already carries the submitted master
+        master = "local[*]"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         # ~2x cores: enough tasks for AQE to coalesce, few enough that
@@ -29,7 +40,6 @@ def get_spark(
 
     b = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         # Arrow batches for every pandas UDF / toPandas crossing.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
@@ -47,6 +57,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master is not None:
+        b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
