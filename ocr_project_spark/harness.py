@@ -3467,9 +3467,23 @@ FROM t GROUP BY 1, 2
 # bigram_topk, distinct_tokens, customer_order_classes,
 # region_revenue, envelope, quality_delta) rotate to LOCAL_QUERIES —
 # still verified on every compare_oracle run.
+#
+# Round-5 rotation (finishes the cycle): the last four oracle-bearing
+# queries that never had a driver row — corpus_funnel,
+# duplicate_passages, shuffle_shards, tfidf_top_terms — take driver
+# slots; four of the longest-standing stable entries (driver-green
+# since round 1: weighted_confidence, hourly_rollup, props_json,
+# error_rows) rotate to LOCAL_QUERIES.  After this round every
+# oracle-bearing query in the repo has been driver-verified at least
+# once.
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
-    # --- promoted this round: first-ever driver rows ---
+    # --- promoted in round 5: first-ever driver rows (last four) ---
+    "corpus_funnel": q_corpus_funnel,
+    "duplicate_passages": q_duplicate_passages,
+    "shuffle_shards": q_shuffle_shards,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    # --- driver-green in round 4 ---
     "lm_perplexity": q_lm_perplexity,
     "bm25_topk": q_bm25_topk,
     "dsir_weights": q_dsir_weights,
@@ -3505,7 +3519,6 @@ SPARK_QUERIES = {
     "fusion_routing": q_fusion_routing,
     "session_stats": q_session_stats,
     "top1_per_group": q_top1_per_group,
-    "weighted_confidence": q_weighted_confidence,
     "batch_stats": q_batch_stats,
     "consensus_boost": q_consensus_boost,
     "left_join_fallback": q_left_join_fallback,
@@ -3519,12 +3532,13 @@ SPARK_QUERIES = {
     "xy_cut": q_xy_cut,
     "simhash64_pairs": q_simhash64_pairs,
     "embedding_near_dup": q_embedding_near_dup,
-    "hourly_rollup": q_hourly_rollup,
-    "props_json": q_props_json,
-    "error_rows": q_error_rows,
 }
 
 ORACLE_SQL = {
+    "corpus_funnel": _SQL_CORPUS_FUNNEL,
+    "duplicate_passages": _SQL_DUP_PASSAGES,
+    "shuffle_shards": _SQL_SHUFFLE_SHARDS,
+    "tfidf_top_terms": _SQL_TFIDF,
     "lm_perplexity": _SQL_LM_PPL,
     "bm25_topk": _SQL_BM25,
     "dsir_weights": _SQL_DSIR,
@@ -3558,7 +3572,6 @@ ORACLE_SQL = {
     "fusion_routing": _SQL_FUSION_ROUTING,
     "session_stats": _SQL_SESSION,
     "top1_per_group": _SQL_TOP1,
-    "weighted_confidence": _SQL_WEIGHTED,
     "batch_stats": _SQL_BATCH_STATS,
     "consensus_boost": _SQL_CONSENSUS_BOOST,
     "left_join_fallback": _SQL_LEFT_JOIN,
@@ -3572,9 +3585,6 @@ ORACLE_SQL = {
     "xy_cut": _SQL_XY_CUT,
     "simhash64_pairs": _SQL_SIMHASH64_PAIRS,
     "embedding_near_dup": _SQL_EMB_NEAR_DUP,
-    "hourly_rollup": _SQL_HOURLY,
-    "props_json": _SQL_PROPS_JSON,
-    "error_rows": _SQL_ERROR_ROWS,
 }
 
 # Folded out of the driver contract (cap), still verified locally on
@@ -3610,15 +3620,17 @@ LOCAL_QUERIES = {
     "minhash_sigs": q_minhash_sigs,
     "simhash_sigs": q_simhash_sigs,
     "simhash_pairs": q_simhash_pairs,
-    "duplicate_passages": q_duplicate_passages,
-    "corpus_funnel": q_corpus_funnel,
-    "shuffle_shards": q_shuffle_shards,
-    "tfidf_top_terms": q_tfidf_top_terms,
     "quality_classifier": q_quality_classifier,  # no oracle: ml model weights not SQL-replayable; pytest-pinned (AUC, refit stability)
     "bpe_tokens": q_bpe_tokens,              # no oracle: iterative merges not SQL-replayable; pytest-pinned vs python reference
     "span_pipeline": q_span_pipeline,        # no oracle: pytest-pinned
     "ivf_topk": q_ivf_topk,                  # no oracle: recall-bounded
     "media_decode": q_media_decode,          # no oracle: determinism test
+    # --- rotated out of the driver contract in round 5 (driver-green
+    # rounds 1-4; still verified here on every compare_oracle run) ---
+    "weighted_confidence": q_weighted_confidence,
+    "hourly_rollup": q_hourly_rollup,
+    "props_json": q_props_json,
+    "error_rows": q_error_rows,
     # --- rotated out of the driver contract in round 4 (driver-green
     # rounds 1-3; still verified here on every compare_oracle run) ---
     "salted_counts": q_salted_counts,
@@ -3652,10 +3664,10 @@ LOCAL_ORACLE_SQL = {
     "minhash_sigs": _SQL_MINHASH_SIGS,
     "simhash_sigs": _SQL_SIMHASH_SIGS,
     "simhash_pairs": _SQL_SIMHASH_PAIRS,
-    "duplicate_passages": _SQL_DUP_PASSAGES,
-    "corpus_funnel": _SQL_CORPUS_FUNNEL,
-    "shuffle_shards": _SQL_SHUFFLE_SHARDS,
-    "tfidf_top_terms": _SQL_TFIDF,
+    "weighted_confidence": _SQL_WEIGHTED,
+    "hourly_rollup": _SQL_HOURLY,
+    "props_json": _SQL_PROPS_JSON,
+    "error_rows": _SQL_ERROR_ROWS,
     "salted_counts": _SQL_SALTED_COUNTS,
     "order_rollup": _SQL_ORDER_ROLLUP,
     "customer_order_classes": _SQL_ORDER_CLASSES,
