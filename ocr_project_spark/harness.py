@@ -2415,8 +2415,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.operators.similarity import bm25_topk
 
     q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    # persist_index: the postings table feeds both the df aggregate and
+    # the query match — one corpus tokenize instead of two (the
+    # inverted-index cut; headline-benched, released by bench.py's
+    # per-query caching.release_all)
     return bm25_topk(
-        T(spark, sf_dir, "documents"), q, top_n=5
+        T(spark, sf_dir, "documents"), q, top_n=5, persist_index=True
     ).select(
         "query_id",
         "doc_id",

@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ocr_project_spark import caching
 from ocr_project_spark.functions.cleanup import PII_PATTERNS
 from ocr_project_spark.functions.text import lang_guess, quality_score, tokens
 from ocr_project_spark.operators.dedup import (
@@ -81,6 +82,12 @@ def curate_corpus(
 
     Downstream keeps ``disposition = 'kept'``; the other rows are the
     audit trail (what was dropped, why, and on whose account).
+
+    Caching contract: the (id, sig) simhash projection is persisted
+    (MEMORY_AND_DISK — the near tier consumes it from four plan
+    branches) and registered under the ``"curate_corpus"`` tag in
+    :mod:`ocr_project_spark.caching`; long-lived drivers should
+    ``caching.release("curate_corpus")`` after the consuming action.
     """
     if max_hamming > bands - 1:
         # a looser setting silently classifies true near-dups as
@@ -137,8 +144,10 @@ def curate_corpus(
     # it is the smallest point in the DAG (two columns, exact keepers
     # only).  At 100 TB the same cut is a WRITE: land the signature
     # table (the *_dedup_incremental tiers' signature store) and run
-    # the near tier against storage.
-    sigs = sigs.persist()
+    # the near tier against storage.  Registered under the
+    # "curate_corpus" caching tag (see module ocr_project_spark.caching)
+    # so long-lived drivers can release it after the consuming action.
+    sigs = caching.track(sigs, "curate_corpus")
     reps = sigs.groupBy("sig").agg(F.min("id").alias("_rid"))
     banded = _simhash_banded(reps.select(F.col("_rid").alias("id"), "sig"), bits, bands)
     a, b = banded.alias("a"), banded.alias("b")
@@ -1105,6 +1114,15 @@ def lm_score(
     the crawl) is ``train_docs``; unseen-pair/-context fallbacks are
     exactly the coalesce(…, 0) branches, so a held-out corpus scores
     without any join loss.
+
+    Caching contract: the unpruned bigram count table c(w1, w2) is
+    persisted (MEMORY_AND_DISK — vocabulary-scale, so an eviction
+    costs a corpus re-pass while a spill costs one local read) because
+    the pruned bigram side, the w1-marginal context counts, and the
+    scoring joins all consume it.  The handle is registered under the
+    ``"lm_score"`` tag in :mod:`ocr_project_spark.caching`; long-lived
+    drivers should ``caching.release("lm_score")`` after the consuming
+    action (curate_job.py's per-stage unpersist is the model).
     """
     from ocr_project_spark.functions.text import word_tokens
 
@@ -1117,8 +1135,9 @@ def lm_score(
     # training document a second time).  Persisted because the bigram
     # side, the context marginal, and the scoring joins all consume it
     # (the dsir_weights feature-vector convention).
-    c2_raw = (
-        tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2")).persist()
+    c2_raw = caching.track(
+        tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2")),
+        "lm_score",
     )
     c2 = c2_raw
     if vocab_size is not None and vocab_size <= 0:
@@ -1262,6 +1281,12 @@ def dsir_weights(
     the scoring pass joins it BROADCAST (≤ n_buckets rows by
     construction), and the only corpus-scale exchange is the per-doc
     feature aggregate keyed by (doc_id, bucket).
+
+    Caching contract: the per-doc feature vectors and the target
+    bucket counts are persisted (MEMORY_AND_DISK) and registered under
+    the ``"dsir_weights"`` tag in :mod:`ocr_project_spark.caching`;
+    long-lived drivers should ``caching.release("dsir_weights")``
+    after the consuming action.
     """
     tgt = _hashed_bigram_buckets(target_docs, id_col, text_col, n_buckets)
     raw = _hashed_bigram_buckets(docs, id_col, text_col, n_buckets)
@@ -1275,12 +1300,14 @@ def dsir_weights(
     # measured 11.4 s -> ~5 s at sf1.  Persisted because the totals
     # action below and the caller's eventual action both consume it
     # (same convention as minhash_signatures' sigs persist).
-    dc = (
-        raw.groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .persist()
+    dc = caching.track(
+        raw.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("_c")),
+        "dsir_weights",
     )
-    ct = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct")).persist()
+    ct = caching.track(
+        tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct")),
+        "dsir_weights",
+    )
     cr = dc.groupBy("bucket").agg(F.sum("_c").alias("_cr"))
     # totals from the aggregates themselves (B-bounded / cached) — no
     # second pass over either corpus just to count positions

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ocr_project_spark import caching
 from ocr_project_spark.functions.text import word_tokens
 
 
@@ -984,6 +985,13 @@ def scrub_passages(
     the same class as its own shingle fan-out.  The token array never
     rides through the window explode: windows carry (doc_id, pos,
     passage) only, and the rebuild joins the starts back id-keyed.
+
+    Caching contract: the (doc_id, pos, window-hash) table is
+    persisted (MEMORY_AND_DISK) because the flag aggregate and the
+    blocked-join probe side both scan it; registered under the
+    ``"scrub_passages"`` tag in :mod:`ocr_project_spark.caching` —
+    long-lived drivers should ``caching.release("scrub_passages")``
+    after the consuming action.
     """
     t = df.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t")
@@ -1008,11 +1016,11 @@ def scrub_passages(
     # window-hash lineage executes twice in the one query (measured
     # ~3.3 s per execution at sf1 on a 75 MB cached footprint; the
     # dsir_weights feature-vector convention)
-    pos_sh = (
+    pos_sh = caching.track(
         t.select("doc_id", F.explode_outer(windows).alias("_w"))
         .where(F.col("_w").isNotNull())
-        .select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.ph").alias("ph"))
-        .persist()
+        .select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.ph").alias("ph")),
+        "scrub_passages",
     )
     # hash-keyed flag pass: same aggregate as duplicate_passages but the
     # shuffle key (and witness join key) is xxhash64(passage), so the

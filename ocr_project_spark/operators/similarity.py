@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ocr_project_spark import caching
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -603,6 +605,12 @@ def semdedup(
     repeated passes co-locate for free, and let AQE split a skewed
     mega-cluster.
 
+    Caching contract: the assigned (id, v, cluster) table is persisted
+    (MEMORY_AND_DISK — four plan branches consume it) and registered
+    under the ``"semdedup"`` tag in :mod:`ocr_project_spark.caching`;
+    long-lived drivers should ``caching.release("semdedup")`` after
+    the consuming action.
+
     Returns one row per input vector: (id_col, cluster, keep).
     """
     from ocr_project_spark.operators.dedup import _collapse_identical
@@ -627,8 +635,9 @@ def semdedup(
     # chain computes once (the same cut curate_corpus makes; measured
     # there as a 6-scan plan without it).  At 100 TB this cut is a
     # WRITE: land the assigned table bucketed by `cluster`, as the
-    # docstring's scale note says.
-    asg = asg.persist()
+    # docstring's scale note says.  Registered under the "semdedup"
+    # caching tag (ocr_project_spark.caching) for post-action release.
+    asg = caching.track(asg, "semdedup")
     a, b = asg.alias("a"), asg.alias("b")
     dominated = (
         a.join(
@@ -662,6 +671,7 @@ def bm25_topk(
     b: float = 0.75,
     top_n: int = 10,
     min_df: int = 1,
+    persist_index: bool = False,
 ) -> DataFrame:
     """BM25 lexical top-k retrieval: rank documents against a query set.
 
@@ -700,11 +710,25 @@ def bm25_topk(
     and the per-query top-n runs as WindowGroupLimit (partial top-n
     per partition before the query_id exchange).  N and the token-sum
     for avgdl are one scalar action over the doc-length projection.
+
+    ``persist_index=True`` materializes the (doc_id, term, tf, dl)
+    postings table — the deliberate inverted-index cut: the table
+    feeds BOTH the df aggregate and the query match, so without it the
+    corpus tokenizes twice per query set.  The trade is memory for
+    recompute: the cached footprint is postings-scale (one row per
+    distinct (doc, term)), held at MEMORY_AND_DISK and registered
+    under the ``"bm25_index"`` tag in :mod:`ocr_project_spark.caching`
+    — long-lived drivers should ``caching.release("bm25_index")``
+    after the consuming action.  At 100 TB the same cut is a WRITE:
+    land the postings bucketed by term (a real inverted index) and
+    serve every query set from storage.  Default False keeps the
+    one-shot pipeline shape (tfidf_top_terms' one-consumer argument).
     """
     from pyspark.sql import Window
 
     tf, dfq, qt, n_docs, avgdl = _bm25_postings(
-        docs, queries, id_col, text_col, query_id_col, query_text_col, min_df
+        docs, queries, id_col, text_col, query_id_col, query_text_col, min_df,
+        persist_index=persist_index,
     )
     part = _bm25_part(n_docs, avgdl, k1, b)
 
@@ -740,10 +764,14 @@ def _bm25_postings(
     query_id_col: str,
     query_text_col: str,
     min_df: int,
+    persist_index: bool = False,
 ):
     """Shared BM25 index build: (tf, df, distinct query terms) plus the
     two corpus scalars (N, avgdl).  Parameter-free — everything k1/b
-    touch happens in _bm25_part — so ensemble scorers reuse one build."""
+    touch happens in _bm25_part — so ensemble scorers reuse one build.
+    ``persist_index`` caches the tf postings table (tag "bm25_index")
+    so the df aggregate and the query match share one corpus
+    tokenize."""
     from ocr_project_spark.functions.text import word_tokens
 
     t = docs.select(
@@ -763,6 +791,8 @@ def _bm25_postings(
     tf = terms.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
+    if persist_index:
+        tf = caching.track(tf, "bm25_index")
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfq = dfq.where(F.col("df") >= F.lit(min_df))
@@ -813,6 +843,7 @@ def bm25_topk_grid(
     query_text_col: str = "query_text",
     top_n: int = 10,
     min_df: int = 1,
+    persist_index: bool = False,
 ) -> DataFrame:
     """BM25 over a (k1, b) parameter grid in ONE index pass: every
     ranking bm25_topk would produce per parameter pair, from a single
@@ -838,13 +869,18 @@ def bm25_topk_grid(
     aggregate; the explode to long form happens AFTER the (query_id,
     doc_id) aggregate, on a table bounded by matched query-doc pairs,
     and the per-(param, query) top-n runs as WindowGroupLimit.
+
+    ``persist_index`` is the same postings materialization as
+    bm25_topk's — see its docstring for the memory/recompute trade
+    and the ``caching.release("bm25_index")`` contract.
     """
     if not params:
         raise ValueError("bm25_topk_grid needs at least one (k1, b) pair")
     from pyspark.sql import Window
 
     tf, dfq, qt, n_docs, avgdl = _bm25_postings(
-        docs, queries, id_col, text_col, query_id_col, query_text_col, min_df
+        docs, queries, id_col, text_col, query_id_col, query_text_col, min_df,
+        persist_index=persist_index,
     )
     matched = (
         tf.join(F.broadcast(qt), "term")

@@ -68,10 +68,16 @@ def main():
         qs.setdefault(k, v)
     for k, v in harness.LOCAL_ORACLE_SQL.items():
         osql.setdefault(k, v)
+    from ocr_project_spark import caching
+
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # 87 queries share this session: drop each query's
+        # operator-internal persists before the next so cached
+        # corpus/vocabulary-scale tables don't accumulate at large sf
+        caching.release_all(blocking=True)
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
