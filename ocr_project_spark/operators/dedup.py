@@ -978,13 +978,18 @@ def scrub_passages(
     table hash-keyed (vocabulary of REPEATED n-grams — far smaller
     than the corpus; AQE broadcasts it when it fits), re-aggregates
     blocked window starts per doc (sorted, deduped), and rebuilds the
-    text in one array pass.  The per-token kept test is exists() over the
-    doc's blocked starts — O(tokens x blocked-windows) per document,
-    fine while blocked windows per doc are bounded (boilerplate);
-    a doc that is ~all duplicated passages costs O(tokens^2/n) there,
-    the same class as its own shingle fan-out.  The token array never
-    rides through the window explode: windows carry (doc_id, pos,
-    passage) only, and the rebuild joins the starts back id-keyed.
+    text in one LINEAR array pass: every blocked interval has fixed
+    length ``n`` over sorted starts, so the union's free gaps fall out
+    of consecutive start pairs directly (a gap opens exactly where
+    s[i+1] - s[i] > n, plus the head/tail gaps) and the kept tokens
+    are slice+flatten over those gaps — O(tokens + blocked windows)
+    per document, worst case included.  (The previous per-token
+    exists() test over the starts array was O(tokens x blocked
+    windows), O(tokens^2/n) on a document that is ~all duplicated
+    passages — the round-4 footnote this rewrite retires.)  The token
+    array never rides through the window explode: windows carry
+    (doc_id, pos, hash) only, and the rebuild joins the starts back
+    id-keyed.
 
     Caching contract: the (doc_id, pos, window-hash) table is
     persisted (MEMORY_AND_DISK) because the flag aggregate and the
@@ -1054,11 +1059,35 @@ def scrub_passages(
         F.sort_array(F.collect_set("pos")).alias("_ss")
     )
     ss = F.coalesce(F.col("_ss"), F.expr("array()").cast("array<int>"))
-    kept = F.filter(
-        F.col("_t"),
-        lambda tok, idx: ~F.exists(
-            ss, lambda s: (idx >= s) & (idx < s + F.lit(n))
+    # gap-merge rebuild: starts are sorted and every blocked interval
+    # is [s, s+n), so the union's free gaps are (head) [0, ss[0]),
+    # (mid) [ss[i]+n, ss[i+1]) for each consecutive pair, (tail)
+    # [ss[-1]+n, n_tokens) — empty gaps (a >= b) filtered out.  For an
+    # unscrubbed doc (ss empty) the head gap degenerates to the whole
+    # token range.  Linear per row; no per-token membership scan.
+    m = F.size(ss)
+    _gap = lambda a, b: F.struct(a.alias("a"), b.alias("b"))  # noqa: E731
+    empty_gaps = F.array().cast("array<struct<a:int,b:int>>")
+    # try_element_at: ANSI element_at throws on the empty-starts array
+    # even under a when() guard (both branches are projected)
+    head = F.array(_gap(F.lit(0), F.coalesce(F.try_element_at(ss, F.lit(1)), cnt)))
+    mids = F.when(
+        m >= 2,
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: _gap(
+                F.try_element_at(ss, i) + F.lit(n), F.try_element_at(ss, i + 1)
+            ),
         ),
+    ).otherwise(empty_gaps)
+    tail = F.when(
+        m >= 1, F.array(_gap(F.try_element_at(ss, F.lit(-1)) + F.lit(n), cnt))
+    ).otherwise(empty_gaps)
+    gaps = F.filter(
+        F.concat(head, mids, tail), lambda g: g["b"] > g["a"]
+    )
+    kept = F.flatten(
+        F.transform(gaps, lambda g: F.slice(F.col("_t"), g["a"] + 1, g["b"] - g["a"]))
     )
     # null-safe join-back: a null-id document's blocked starts live in
     # starts' null group; a plain equi-join would never hand them back

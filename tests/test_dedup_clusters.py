@@ -662,3 +662,29 @@ def test_scrub_passages_null_id_doc_still_scrubbed(spark):
     # be exempted from the scrub by a null != comparison
     assert got[1] == "a b c x y z"
     assert got[None] == "q d r"
+
+
+def test_scrub_passages_all_duplicate_doc_linear(spark):
+    """The gap-merge rebuild's worst case: a document that is ~all
+    duplicated passages (every window blocked, blocked-start count ~=
+    token count).  The old exists() rebuild was O(tokens^2/n) here;
+    the gap-merge pass is linear, and the output must be a full scrub
+    for every non-witness copy.  5k tokens x 3 docs completes in
+    seconds; the quadratic form took minutes at 10x this size."""
+    from ocr_project_spark.operators.dedup import scrub_passages
+
+    body = " ".join(f"w{i % 97}" for i in range(5000))  # 5k tokens
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, "pre " + body + " post")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_passages(docs, n=5, min_docs=2).collect()}
+    assert got[1].clean_text == body                     # witness keeps all
+    assert got[2].clean_text == "" and got[2].n_tokens_kept == 0
+    # doc 3: every interior window of the shared body is blocked; only
+    # the tokens not covered by any flagged 5-gram survive.  "pre"
+    # shifts the windows, so windows containing "pre"/"post" are
+    # unflagged — coverage starts at the first all-shared window.
+    assert got[3].n_tokens_kept < 12
+    assert got[3].clean_text.startswith("pre")
+    assert got[3].clean_text.endswith("post")
