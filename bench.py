@@ -156,12 +156,13 @@ def main() -> None:
     timings["extract_pipeline_bucketed"] = round(dtb, 3)
     docs_per_sec_bucketed = round(N_BENCH_DOCS / dtb, 1)
 
-    # the vectorized-pandas kernel (compatibility escape hatch for
+    # the pandas-classifier kernel (compatibility escape hatch for
     # pandas-in/out learned-model classifiers; the pandas API's
     # default kernel routes through the arrow path below).  Since the
-    # parallel-primitive-array crossing landed (extract_pandas.py
-    # module docstring) its cost is within ~2x of the HOF plan —
-    # tracked to keep that bound honest
+    # classifier-only crossing landed (extract_pandas.py module
+    # docstring: texts in, boolean mask out, HOF assembly JVM-side)
+    # its cost is ~1.3-1.5x the HOF plan — tracked to keep that bound
+    # honest
     from ocr_project_spark.harness import _ensure_pyfiles
     from ocr_project_spark.operators.extract_pandas import extract_pandas_engine
 
