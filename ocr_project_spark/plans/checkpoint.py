@@ -176,8 +176,18 @@ def run(
     scrub_pii: bool = False,
     lang_filter_cfg=None,
     extra_pins: dict | None = None,
+    writer=None,
 ) -> DataFrame:
     """Execute (or resume) a checkpointed extraction run.
+
+    ``writer`` is the table-commit seam (plans/writer.TableWriter):
+    default ParquetDirWriter(out_dir) — the sandbox's parquet-dir
+    stand-in; pass writer.IcebergTableWriter(spark, "catalog.ns") to
+    land the same three tables (data / watermarks / metrics) in
+    Iceberg with the commit's snapshot id stamped into each watermark
+    row.  The call sequence per batch (data overwrite, THEN watermark
+    append, THEN metrics append) is the commit protocol and is pinned
+    by tests/test_writer_contract.py.
 
     ``retry_candidates`` runs media fusion in the two-pass PSM-retry
     form per bucket batch (operators/extract.extract retry args); the
@@ -217,6 +227,10 @@ def run(
     written bucket-partitioned.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if writer is None:
+        from ocr_project_spark.plans.writer import ParquetDirWriter
+
+        writer = ParquetDirWriter(out_dir)
     # ALL validity checks before the manifest pin is written: a refused
     # combination must not poison _run_meta for a run that never
     # committed a bucket
@@ -341,12 +355,10 @@ def run(
 
         # Per-bucket lineage/metrics in the same pass as the write: one
         # aggregate over the (small) committed batch output.
-        out.write.mode("overwrite").partitionBy("bucket").parquet(
-            _path(out_dir, OUTPUT_TABLE)
-        )
+        snapshot_id = writer.overwrite_partitions(out, OUTPUT_TABLE, "bucket")
         stats = {
             r["bucket"]: (r["docs"], r["spans"], r["errors"])
-            for r in spark.read.parquet(_path(out_dir, OUTPUT_TABLE))
+            for r in writer.read(spark, OUTPUT_TABLE)
             .where(F.col("bucket").isin(batch))
             .groupBy("bucket")
             .agg(
@@ -365,7 +377,14 @@ def run(
         elapsed_ms = int((time.monotonic() - t0) * 1000)
         ticks = time.time_ns()
         wm_rows = [
-            (run_id, int(b), "committed", int(stats.get(b, (0, 0, 0))[0]), ticks)
+            (
+                run_id,
+                int(b),
+                "committed",
+                int(stats.get(b, (0, 0, 0))[0]),
+                ticks,
+                snapshot_id,
+            )
             for b in batch
         ]
         met_rows = [
@@ -379,16 +398,14 @@ def run(
             )
             for b in batch
         ]
-        _append(
-            spark.createDataFrame(wm_rows, schema.WATERMARKS),
-            _path(out_dir, WATERMARK_TABLE),
+        writer.append(
+            spark.createDataFrame(wm_rows, schema.WATERMARKS), WATERMARK_TABLE
         )
-        _append(
-            spark.createDataFrame(met_rows, schema.METRICS),
-            _path(out_dir, METRICS_TABLE),
+        writer.append(
+            spark.createDataFrame(met_rows, schema.METRICS), METRICS_TABLE
         )
 
-    return spark.read.parquet(_path(out_dir, OUTPUT_TABLE)).drop("bucket")
+    return writer.read(spark, OUTPUT_TABLE).drop("bucket")
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -98,6 +98,10 @@ FUSED = StructType(
 )
 
 # Checkpoint / lineage tables (FIXTURES.md section 4).
+# snapshot_id: the data-table snapshot the bucket's commit rode in on
+# (plans/writer.py) — NULL for the parquet-dir stand-in, the Iceberg
+# snapshot id in a real deployment; nullable so pre-existing watermark
+# tables read back with NULLs.
 WATERMARKS = StructType(
     [
         StructField("run_id", StringType(), False),
@@ -105,6 +109,7 @@ WATERMARKS = StructType(
         StructField("status", StringType(), False),
         StructField("docs_done", LongType(), False),
         StructField("committed_at_ticks", LongType(), False),
+        StructField("snapshot_id", StringType(), True),
     ]
 )
 

@@ -212,7 +212,7 @@ def test_checkpoint_interleaved_commit_converges(
     # writer A's delayed watermark append lands AFTER B's commits
     import time as _time
 
-    stale = [("ric", b, "committed", 0, _time.time_ns()) for b in (0, 1)]
+    stale = [("ric", b, "committed", 0, _time.time_ns(), None) for b in (0, 1)]
     orig_append(
         spark.createDataFrame(stale, schema.WATERMARKS),
         f"{ck}/{checkpoint.WATERMARK_TABLE}",
