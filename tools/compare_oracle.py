@@ -46,8 +46,19 @@ def hash_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --skip NAME excludes a query (repeatable) — used by the large-sf
+    # gates where an ORACLE (not the operator) is super-linear in
+    # DuckDB, e.g. pack_sequences' recursive CTE re-scans the corpus
+    # per recursion step (BASELINE.md "Round-4 scale-up gate" details
+    # the exact-Python-replay fallback that covers it there).
+    skip: set[str] = set()
+    while "--skip" in args:
+        i = args.index("--skip")
+        skip.add(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from ocr_project_spark.session import get_spark
@@ -73,6 +84,9 @@ def main():
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"SKIP {name}: --skip")
             continue
         # 87 queries share this session: drop each query's
         # operator-internal persists before the next so cached
