@@ -211,6 +211,32 @@ def main() -> None:
     )
     timings["extract_skewed_chunked"] = round(dtc, 3)
 
+    # mega-doc crossover regime: ONE 10^6-span document (vs the
+    # periodic 12k-span skew above).  Here per-document assembly work
+    # exceeds a task's useful quantum, so plain extract() serializes
+    # the whole run on the single straggler task while extract_chunked
+    # spreads the chunks across every core — the regime the chunker
+    # exists for and the measured counterpart to the 12k-span fixture
+    # where plain wins.  Measured crossover ~10^5 spans/doc; at 1M
+    # chunked wins 1.7x, at 4M 2.8x (168.3 s plain vs 59.6 s chunked —
+    # PLANS.md "mega-doc crossover bench").  1M keeps the pair's
+    # margin decisive while the two arms stay under a minute each;
+    # min-over-2 dodges a noisy-neighbor window.
+    from ocr_project_spark.sources.generate import write_mega_corpus_parquet
+
+    n_mega = int(os.environ.get("SPARK_GRAFT_BENCH_MEGA_SPANS", "1000000"))
+    mega_dir = f"/tmp/ocr_bench_mega_{n_mega}"
+    if not os.path.exists(os.path.join(mega_dir, "documents_spans.parquet")):
+        write_mega_corpus_parquet(mega_dir, mega_span_count=n_mega)
+    docs_m = spark.read.parquet(f"{mega_dir}/documents_spans.parquet")
+    cands_m = spark.read.parquet(f"{mega_dir}/media_candidates.parquet")
+    dtm = _best_of(2, lambda: _noop_sink(extract(docs_m, cands_m)))
+    timings["extract_mega"] = round(dtm, 3)
+    dtmc = _best_of(
+        2, lambda: _noop_sink(extract_chunked(docs_m, cands_m, 65536))
+    )
+    timings["extract_mega_chunked"] = round(dtmc, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

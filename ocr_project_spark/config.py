@@ -29,7 +29,8 @@ ENGINE_DEFAULTS: dict[str, Any] = {
         "early_termination": None,    # fusion confidence short-circuit
         "retry_threshold": 0.3,       # PSM-retry gate (fuse_with_retry)
         "chunk_mega_docs": False,
-        "mega_span_threshold": 256,
+        "mega_span_threshold": 256,   # salt threshold (task balance)
+        "chunk_width": 65536,         # spans/chunk; ~1e5 measured crossover
     },
     "partitioning": {
         "n_buckets": 64,

@@ -62,7 +62,14 @@ def build_parser(cfg=None) -> argparse.ArgumentParser:
                    default=bool(c("extract.chunk_mega_docs", False)),
                    help="split span arrays > threshold into chunks (intra-doc parallelism)")
     p.add_argument("--mega-span-threshold", type=int,
-                   default=c("extract.mega_span_threshold", 256))
+                   default=c("extract.mega_span_threshold", 256),
+                   help="span count above which a doc is salted across "
+                        "partitions (task-balance lever)")
+    p.add_argument("--chunk-width", type=int,
+                   default=c("extract.chunk_width", 65536),
+                   help="max spans per chunk for --chunk-mega-docs; "
+                        "default 65536 sits just under the measured "
+                        "~1e5 spans/doc crossover (PLANS.md)")
     p.add_argument("--master", default=None, help="override master (tests)")
     p.add_argument("--no-checkpoint", action="store_true",
                    help="single-pass run without watermark commits (benchmarking)")
@@ -277,8 +284,11 @@ def main(argv: list[str] | None = None) -> int:
                 retry_threshold=args.retry_threshold,
             )
         else:
-            fn = extract_chunked if args.chunk_mega_docs else extract
-            out = fn(docs, cands)
+            out = (
+                extract_chunked(docs, cands, args.chunk_width)
+                if args.chunk_mega_docs
+                else extract(docs, cands)
+            )
         if args.scrub_pii:
             from ocr_project_spark.pipeline import scrub_spans
 
@@ -298,7 +308,7 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.buckets,
             bucket_batch_size=args.bucket_batch_size,
             chunk_mega_docs=(
-                args.mega_span_threshold if args.chunk_mega_docs else None
+                args.chunk_width if args.chunk_mega_docs else None
             ),
             retry_candidates=retry_cands,
             retry_threshold=args.retry_threshold,

@@ -89,6 +89,12 @@ def assemble_expr(spans: Column, fused_map: Column) -> Column:
 SPAN_ARRAY_TYPE = (
     "array<struct<kind:string,text:string,media_ref:string,order:int>>"
 )
+# Input-side span type (storage offset, pre-extraction) — used where an
+# empty array must match the SOURCE schema, e.g. forcing invalid docs'
+# spans empty before they ride the chunked single-scan plan.
+INPUT_SPAN_ARRAY_TYPE = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
 
 
 def _status(ok: bool, reason: str | None) -> Column:
@@ -231,46 +237,79 @@ def extract(
 def extract_chunked(
     docs: DataFrame,
     candidates: DataFrame | None = None,
-    max_spans_per_chunk: int = 256,
+    max_spans_per_chunk: int = 65536,
 ) -> DataFrame:
     """extract() with intra-document parallelism for mega-docs.
 
     Salting (plans/partitioning.py) balances *which task* a giant row
     lands on, but one 10^8-span document is still one task's work.
+    The default chunk width (65536) is evidence-based: the measured
+    crossover sits at ~10^5 spans/doc (PLANS.md "mega-doc crossover
+    bench" — chunked wins 1.7x at 1M spans, 2.8x at 4M), so a width
+    just under the crossover keeps each chunk's assembly below a
+    task quantum while minimizing chunk-row fan-out.
     This path splits span arrays into offset-contiguous chunks (one row
     each), runs the same assembly expression per chunk, and reassembles
     per doc with the dense ``order`` recomputed across chunk boundaries
     (SURVEY.md section 7.5 item 3).  Output is exactly extract()'s —
     verified by tests/test_plans.py on the fixture corpus.
 
-    Cost: one extra shuffle (the reassembly groupBy). Use only when the
-    corpus has documents above the chunk threshold; the driver decides
-    (job.py --chunk-mega-docs).
+    Cost: two extra shuffles — the chunk REDISTRIBUTION before assembly
+    and the reassembly groupBy after.  The redistribution is the whole
+    point: chunk_documents' explode is narrow and the fused-map join
+    hashes doc_id alone, so without an explicit repartition by
+    (doc_id, chunk_id) every chunk of a mega-doc stays in ONE task and
+    assembly never parallelizes intra-document (measured: 4x1M-span
+    docs, chunked-without-redistribution 7.5 s vs plain 3.8 s — the
+    chunker could never win at ANY size).  Use only when the corpus
+    has documents above the chunk threshold; the driver decides
+    (job.py --chunk-mega-docs).  Crossover measured in PLANS.md
+    ("mega-doc crossover bench").
     """
+    from ocr_project_spark import errors
     from ocr_project_spark.plans.partitioning import (
         chunk_documents,
         reassemble_chunks,
     )
 
-    # Chunking genuinely reshapes rows, so the never-fail contract here
-    # is a filter-split: ok docs chunk + assemble + reassemble, invalid
-    # docs bypass as empty-spans error rows and union back.  (The plain
-    # extract() keeps a single pass instead — no reshape there.)
-    tagged = docs.withColumn("status", doc_status_expr())
-    bad = tagged.where(~F.col("status.ok")).select(
+    # Never-fail contract in ONE scan of the input: invalid docs chunk
+    # as a single empty chunk (spans forced empty) with their computed
+    # status carried alongside every chunk, so the corpus is read once
+    # — a filter-split (ok branch / bad branch) forks the lineage into
+    # TWO full scans of the heavy spans column, which at 10^12 docs
+    # doubles the dominant I/O and on the 1x4M-span crossover fixture
+    # cost ~1 s of an 8 s run.  Only null-doc_id rows still bypass:
+    # they cannot ride the doc_id groupBy (reassembly would collapse
+    # distinct null-keyed documents into one row) — and their bypass
+    # scan prunes down to the doc_id column alone, so it is free.
+    with_id = docs.where(F.col("doc_id").isNotNull())
+    null_id = docs.where(F.col("doc_id").isNull()).select(
         "doc_id",
         F.array().cast(SPAN_ARRAY_TYPE).alias("spans"),
-        "status",
+        _status(False, errors.REASON_NULL_DOC_ID).alias("status"),
     )
-    ok = tagged.where(F.col("status.ok")).drop("status")
+    tagged = with_id.withColumn("_st", doc_status_expr()).select(
+        "doc_id",
+        F.when(F.col("_st.ok"), F.col("spans"))
+        .otherwise(F.array().cast(INPUT_SPAN_ARRAY_TYPE))
+        .alias("spans"),
+        F.col("_st").alias("status"),
+    )
 
-    chunks = chunk_documents(ok, max_spans_per_chunk)
+    chunks = chunk_documents(tagged, max_spans_per_chunk, carry_cols=("status",))
     chunks = _with_fused_map(chunks, candidates)
+    # Spread one document's chunks across tasks: the fused-map join
+    # (when present) co-partitions on hash(doc_id), which pins ALL of a
+    # mega-doc's chunks to one shuffle partition; without candidates
+    # the explode is narrow and they never leave the reader's task.
+    # Hash on (doc_id, chunk_id) so assembly — the per-span scoring
+    # work this operator exists to parallelize — runs wide.
+    chunks = chunks.repartition(F.col("doc_id"), F.col("chunk_id"))
     per_chunk = chunks.select(
         "doc_id",
         "chunk_id",
         assemble_expr(F.col("spans"), F.col("fused_map")).alias("spans"),
+        "status",
     )
-    return reassemble_chunks(per_chunk).withColumn(
-        "status", _status(True, None)
-    ).unionByName(bad)
+    reassembled = reassemble_chunks(per_chunk, carry_cols=("status",))
+    return reassembled.select("doc_id", "spans", "status").unionByName(null_id)

@@ -134,7 +134,9 @@ def salted_two_phase_count(
 
 
 def chunk_documents(
-    docs: DataFrame, max_spans_per_chunk: int = DEFAULT_MEGA_SPAN_THRESHOLD
+    docs: DataFrame,
+    max_spans_per_chunk: int = DEFAULT_MEGA_SPAN_THRESHOLD,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, spans) -> (doc_id, chunk_id, spans) with bounded chunks.
 
@@ -143,33 +145,45 @@ def chunk_documents(
     simply concatenate chunks in chunk_id order.  Empty/null span
     arrays keep one empty chunk so no document is lost.
 
-    The sorted array is MATERIALIZED in its own projection before the
-    per-chunk transform references it — the standard HOF-recompute
+    ``carry_cols`` names per-document columns to replicate onto every
+    chunk row (e.g. the never-fail ``status`` struct) so callers can
+    chunk in the SAME scan that computed them instead of forking the
+    lineage into a second full read of the input.
+
+    The sort key array is MATERIALIZED in its own projection before
+    the per-chunk transform references it — the standard HOF-recompute
     trap (functions/text.chunk_tokens docstring): an inline
     ``array_sort(...)`` subexpression inside the chunk lambda is
     re-evaluated once PER CHUNK, which on the mega-docs this operator
-    exists for means re-sorting and re-building the full span array
-    n/chunk times — O(n^2/chunk) struct+string churn per document.
-    Measured on the skewed bench corpus (P99 span count 12000): 19.1 s
-    inline vs 2.1 s materialized for the full extract_chunked pipeline
-    (plain extract: 1.5 s — see PLANS.md "skewed-corpus bench" for the
-    chunker crossover analysis).
+    exists for means re-sorting the full array n/chunk times —
+    O(n^2/chunk) churn per document.  Measured on the skewed bench
+    corpus (P99 span count 12000): 19.1 s inline vs 2.1 s materialized
+    for the full extract_chunked pipeline.
+
+    The sort itself runs over (offset, idx) INT PAIRS only, never the
+    span structs: sorting structs drags every kind/text/media_ref
+    string through each comparison swap, and on a 4M-span document
+    that struct sort alone cost 7.4 s of a 9.2 s pipeline — the whole
+    serial budget the chunker is supposed to relieve.  Chunks are then
+    built by element_at back into the original span array, so strings
+    are copied exactly once, into their destination chunk (measured
+    1x4M-span doc: chunk build 7.4 s -> ~1 s; see PLANS.md "mega-doc
+    crossover bench").
     """
-    indexed = F.transform(
-        F.coalesce(F.col("spans"), F.array()),
-        lambda s, i: F.struct(
-            s["offset"].alias("o"),
-            i.alias("idx"),
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-        ),
+    spans_c = F.coalesce(F.col("spans"), F.array())
+    keys = F.array_sort(
+        F.transform(
+            spans_c,
+            lambda s, i: F.struct(s["offset"].alias("o"), i.alias("idx")),
+        )
     )
-    with_sorted = docs.select("doc_id", F.array_sort(indexed).alias("_sorted"))
-    sorted_spans = F.col("_sorted")
+    with_sorted = docs.select(
+        "doc_id", spans_c.alias("_spans"), keys.alias("_keys"), *carry_cols
+    )
+    sorted_keys = F.col("_keys")
     n_chunks = F.greatest(
         F.lit(1),
-        F.ceil(F.size(sorted_spans) / F.lit(max_spans_per_chunk)).cast("int"),
+        F.ceil(F.size(sorted_keys) / F.lit(max_spans_per_chunk)).cast("int"),
     )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - F.lit(1)),
@@ -177,16 +191,14 @@ def chunk_documents(
             c.alias("chunk_id"),
             F.transform(
                 F.slice(
-                    sorted_spans,
+                    sorted_keys,
                     c * F.lit(max_spans_per_chunk) + F.lit(1),
                     F.lit(max_spans_per_chunk),
                 ),
-                lambda s: F.struct(
-                    s["kind"].alias("kind"),
-                    s["text"].alias("text"),
-                    s["media_ref"].alias("media_ref"),
-                    s["o"].alias("offset"),
-                ),
+                # the original span struct verbatim — its fields are
+                # already (kind, text, media_ref, offset), so one
+                # element_at per span and zero per-field rebuilds
+                lambda k: F.element_at(F.col("_spans"), k["idx"] + F.lit(1)),
             ).alias("spans"),
         ),
     )
@@ -197,17 +209,22 @@ def chunk_documents(
     # harness._spans_out_flat).  chunks is never empty (n_chunks >= 1),
     # so the post-filter only restores the type contract.
     return (
-        with_sorted.select("doc_id", F.explode_outer(chunks).alias("_c"))
+        with_sorted.select(
+            "doc_id", F.explode_outer(chunks).alias("_c"), *carry_cols
+        )
         .where(F.col("_c").isNotNull())
         .select(
             "doc_id",
             F.col("_c.chunk_id").alias("chunk_id"),
             F.col("_c.spans").alias("spans"),
+            *carry_cols,
         )
     )
 
 
-def reassemble_chunks(extracted_chunks: DataFrame) -> DataFrame:
+def reassemble_chunks(
+    extracted_chunks: DataFrame, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, chunk_id, spans[out]) -> (doc_id, spans[out]) with the
     dense ``order`` field recomputed across chunk boundaries.
 
@@ -215,11 +232,16 @@ def reassemble_chunks(extracted_chunks: DataFrame) -> DataFrame:
     are re-sorted by chunk_id inside the array before flattening; the
     within-chunk order field (dense, 0-based) is preserved by the
     chunker's offset-boundary guarantee.
+
+    ``carry_cols`` are per-document columns replicated on every chunk
+    (chunk_documents' carry_cols); each is restored with first() —
+    all chunks of a document carry identical values by construction.
     """
     per_doc = extracted_chunks.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("chunk_id"), F.col("spans").alias("spans")))
-        ).alias("chunks")
+        ).alias("chunks"),
+        *[F.first(c).alias(c) for c in carry_cols],
     )
     flat = F.flatten(F.transform(F.col("chunks"), lambda c: c["spans"]))
     renumbered = F.transform(
@@ -231,4 +253,4 @@ def reassemble_chunks(extracted_chunks: DataFrame) -> DataFrame:
             i.cast("int").alias("order"),
         ),
     )
-    return per_doc.select("doc_id", renumbered.alias("spans"))
+    return per_doc.select("doc_id", renumbered.alias("spans"), *carry_cols)

@@ -222,3 +222,148 @@ def write_corpus_parquet(
     cand_path = os.path.join(out_dir, "media_candidates.parquet")
     pq.write_table(cand_tbl, cand_path)
     return doc_path, cand_path
+
+
+def write_mega_corpus_parquet(
+    out_dir: str,
+    mega_span_count: int = 4_000_000,
+    n_regular: int = 50,
+    base_seed: int = 47,
+) -> tuple[str, str]:
+    """Write a corpus whose skew is ONE document: a single mega doc of
+    ``mega_span_count`` spans next to ``n_regular`` ordinary docs.
+
+    This is the extract_chunked crossover fixture (PLANS.md "mega-doc
+    crossover bench"): plain extract() leaves the mega doc as a single
+    task's serial expression work — the regime where per-document
+    assembly time exceeds a task's useful work quantum and intra-doc
+    chunking starts paying for its two extra shuffles.  generate_corpus
+    builds spans one Python dict at a time (fine at its fixture sizes,
+    ~10 min at 4M spans), so the mega doc here is built columnar:
+    texts are drawn from a seeded 1024-string pool per style and
+    assembled directly into arrow arrays.  Deterministic for a given
+    (mega_span_count, n_regular, base_seed).
+
+    Media spans are thinned to 2% with exactly one 0.9-confidence
+    candidate each — enough to exercise the fusion join + map lookup
+    on every chunk without the candidate table itself becoming the
+    fixture's cost center.  Storage order is shuffled (the untrusted-
+    order contract, FIXTURES.md) so the chunker's sort actually works.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(base_seed)
+    mega_id = "doc-mega-000000"
+
+    # seeded text pools (vectorized draw; pool size swamps any
+    # distribution artifact at 4M draws)
+    content_pool = [_content_span_text(rng) for _ in range(1024)]
+    boiler_pool = [_boilerplate_span_text(rng) for _ in range(1024)]
+    caption_pool = [
+        " ".join(rng.choice(CAPTION_VOCAB, size=int(rng.integers(1, 4))))
+        for _ in range(256)
+    ]
+
+    n = int(mega_span_count)
+    r = rng.random(n)
+    is_media = r < 0.02
+    is_content = (~is_media) & (r < 0.55)
+    pool_idx = rng.integers(0, 1024, size=n)
+    cap_idx = rng.integers(0, 256, size=n)
+
+    texts: list[str] = [None] * n  # type: ignore[list-item]
+    media_refs: list[str] = [""] * n
+    for k in np.flatnonzero(is_media):
+        k = int(k)
+        texts[k] = caption_pool[int(cap_idx[k])]
+        media_refs[k] = f"media://{mega_id}/{k}"
+    for k in np.flatnonzero(is_content):
+        k = int(k)
+        texts[k] = content_pool[int(pool_idx[k])]
+    for k in np.flatnonzero(~is_media & ~is_content):
+        k = int(k)
+        texts[k] = boiler_pool[int(pool_idx[k])]
+
+    kinds = np.where(is_media, "media", "text").tolist()
+    # storage order != document order: stored slot j holds the span
+    # whose document position is perm[j], and offset carries that
+    # document position — so a stable (offset, idx) sort recovers
+    # document order, same contract as generate_corpus.
+    perm = rng.permutation(n)
+    span_struct = pa.StructArray.from_arrays(
+        [
+            pa.array([kinds[int(j)] for j in perm], pa.string()),
+            pa.array([texts[int(j)] for j in perm], pa.string()),
+            pa.array([media_refs[int(j)] for j in perm], pa.string()),
+            pa.array(perm.astype("int32"), pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    mega_list = pa.ListArray.from_arrays(
+        pa.array([0, n], pa.int32()), span_struct
+    )
+
+    # regular companion docs via the standard generator (no mega)
+    docs, cands = generate_corpus(
+        n_docs=n_regular, base_seed=base_seed + 1, mega_doc_every=10**9
+    )
+    span_t = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    reg_tbl = pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
+            "spans": pa.array([d["spans"] for d in docs], pa.list_(span_t)),
+        }
+    )
+    mega_tbl = pa.table(
+        {
+            "doc_id": pa.array([mega_id], pa.string()),
+            "spans": mega_list.cast(pa.list_(span_t)),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    doc_path = os.path.join(out_dir, "documents_spans.parquet")
+    pq.write_table(pa.concat_tables([mega_tbl, reg_tbl]), doc_path)
+
+    # one deterministic candidate per mega media span (vectorized)
+    media_pos = np.flatnonzero(is_media)
+    engines = ENGINES * (len(media_pos) // len(ENGINES) + 1)
+    cand_cols = {
+        "doc_id": [mega_id] * len(media_pos),
+        "offset": [int(k) for k in media_pos],
+        "engine": engines[: len(media_pos)],
+        "text": [texts[int(k)] for k in media_pos],
+        "confidence": [0.9] * len(media_pos),
+    }
+    cand_tbl = pa.table(
+        {
+            "doc_id": pa.array(
+                cand_cols["doc_id"] + [c["doc_id"] for c in cands], pa.string()
+            ),
+            "offset": pa.array(
+                cand_cols["offset"] + [c["offset"] for c in cands], pa.int32()
+            ),
+            "engine": pa.array(
+                cand_cols["engine"] + [c["engine"] for c in cands], pa.string()
+            ),
+            "text": pa.array(
+                cand_cols["text"] + [c["text"] for c in cands], pa.string()
+            ),
+            "confidence": pa.array(
+                cand_cols["confidence"] + [c["confidence"] for c in cands],
+                pa.float64(),
+            ),
+        }
+    )
+    cand_path = os.path.join(out_dir, "media_candidates.parquet")
+    pq.write_table(cand_tbl, cand_path)
+    return doc_path, cand_path

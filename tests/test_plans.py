@@ -116,6 +116,34 @@ def test_chunk_reassemble_roundtrip_no_candidates(corpus_dfs):
     assert chunked == plain
 
 
+def test_mega_corpus_fixture_chunked_equals_plain(spark, tmp_path):
+    """The crossover-bench fixture (one big doc built columnar in
+    arrow, sources/generate.write_mega_corpus_parquet) produces the
+    same extraction under both plans — the correctness side of the
+    PLANS.md "mega-doc crossover bench" performance pair — and is
+    deterministic for a given seed."""
+    from ocr_project_spark.sources.generate import write_mega_corpus_parquet
+
+    d1, c1 = write_mega_corpus_parquet(
+        str(tmp_path / "a"), mega_span_count=5000, n_regular=10
+    )
+    d2, _ = write_mega_corpus_parquet(
+        str(tmp_path / "b"), mega_span_count=5000, n_regular=10
+    )
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(d1).equals(pq.read_table(d2))  # determinism
+
+    docs_df = spark.read.parquet(d1)
+    cands_df = spark.read.parquet(c1)
+    assert docs_df.count() == 11
+    mega = [r for r in docs_df.collect() if len(r["spans"] or []) == 5000]
+    assert len(mega) == 1
+    plain = to_dict(extract(docs_df, cands_df))
+    chunked = to_dict(extract_chunked(docs_df, cands_df, max_spans_per_chunk=512))
+    assert chunked == plain
+
+
 # ------------------------------------------------------------------ checkpoint
 def test_checkpoint_run_matches_direct(spark, corpus, corpus_dfs, tmp_path):
     docs_df, cands_df = corpus_dfs
