@@ -554,6 +554,14 @@ def repetition_stats(
     at any corpus size.  (The previous shape paid two corpus-scale
     shuffles — explode → groupBy(doc, gram) → groupBy(doc) → join
     back — for what one row-local pass computes.)
+
+    Oracle-triage note: Spark counts grams by their xxhash64 while the
+    DuckDB oracle counts exact gram STRINGS, so a 64-bit collision
+    between two distinct grams inside one document would undercount
+    distinct_grams here and surface as a confusing hash-red on this
+    query.  Probability ~grams²·2⁻⁶⁴ — accepted risk; if this oracle
+    ever reds with a tiny distinct_grams delta, screen for a collision
+    before suspecting the fold.
     """
     from ocr_project_spark.functions.text import word_tokens
 

@@ -61,6 +61,21 @@ def get_spark(
         b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    spark = b.getOrCreate()
+    try:
+        spark = b.getOrCreate()
+    except Exception as e:
+        if master is None and "master" in str(e).lower():
+            # A gateway JVM was detected (PYSPARK_GATEWAY_PORT) but its
+            # SparkConf carries no master — an unusual embedder or a
+            # hand-rolled gateway.  We deliberately do NOT fall back to
+            # local[*] here: under spark-submit that silently benches
+            # the driver machine while the cluster idles (the round-4
+            # deploy bug).  Point at the explicit escape hatch instead.
+            raise RuntimeError(
+                "no Spark master: the detected gateway JVM carries no "
+                "master in its SparkConf; set SPARK_GRAFT_MASTER (or "
+                "pass master=) to choose one explicitly"
+            ) from e
+        raise
     spark.sparkContext.setLogLevel("ERROR")
     return spark

@@ -35,9 +35,11 @@ def test_entry_module_exposes_driver_contract():
     assert set(qs) == set(harness.SPARK_QUERIES)
     assert set(osql) == set(harness.ORACLE_SQL)
     # ordering is the sampling contract: never-checked/new entries first
-    # (round-4 rotation: the 12 curation/scoring queries that were
-    # local-only through round 3 lead the driver registry)
-    assert list(qs)[:12] == [
+    # (round-5 rotation: the last four never-driver-checked oracles
+    # lead, then the round-4 curation/scoring block)
+    assert list(qs)[:16] == [
+        "corpus_funnel", "duplicate_passages", "shuffle_shards",
+        "tfidf_top_terms",
         "lm_perplexity", "bm25_topk", "dsir_weights", "scrub_passages",
         "rrf_hybrid", "semdedup", "mix_corpus", "clean_lines",
         "gopher_rules", "scrub_pii", "source_cap", "dedup_lines",
