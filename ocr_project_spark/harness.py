@@ -1752,10 +1752,22 @@ WHERE list_inner_product(a.v, b.v)
 #      engines agree despite independent float summation.
 # --------------------------------------------------------------------
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Codebook sized ~sqrt(N) (the SemDeDup paper's rule, and the
+    # operator docstring's 100 TB shape): with k fixed, per-cluster
+    # candidate sets grow linearly with the corpus and the in-cluster
+    # self-join quadratically — the sf3 gate caught exactly that (a
+    # pinned k=4 ran ~minutes at sf0.1 and ~an hour at sf3; sqrt(N)
+    # keeps total pair work ~N^1.5/N = k*(N/k)^2 = N^1.5/k bounded).
+    # Deterministic + SQL-portable: centroids are the first
+    # ceil(sqrt(N)) vectors by vec_id, the count being the only
+    # driver-side scalar (metadata-scale, same value both engines).
+    import math
+
     emb = T(spark, sf_dir, "embeddings")
+    k = math.ceil(math.sqrt(emb.count()))
     cents = [
         [float(x) for x in r["embedding"]]
-        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+        for r in emb.orderBy("vec_id").limit(k).collect()
     ]
     out = SIM.semdedup(emb, centroids=cents, threshold=0.35)
     return out.select(
@@ -1765,8 +1777,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SEMDEDUP = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-      FROM e WHERE vec_id < 4),
+ranked AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+           FROM e),
+c AS (SELECT cid, cv FROM ranked
+      WHERE cid < CEIL(SQRT((SELECT COUNT(*) FROM e)))),
 a AS (SELECT vec_id, v, cid,
              row_number() OVER (
                PARTITION BY vec_id
