@@ -896,15 +896,27 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     j = li.join(dims, li.l_suppkey == dims.s_suppkey)
+    # Determinism: a double SUM over millions of rows is order-dependent
+    # in its last decimal digit once the accumulator passes ~1e12 (the
+    # sf3 gate flipped AFRICA by 0.01).  Sum exact integers instead:
+    # price is 2-decimal cents, discount is 2-decimal basis points, so
+    # cents * (100 - bp) is the exact revenue in 1e-4 dollars; one final
+    # int->double division is identical in both engines.
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
     return j.groupBy("r_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        (F.sum(rev_e4) / F.lit(10000.0)).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 _SQL_REGION_REVENUE = """
 SELECT r_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+         / 10000.0 AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -3019,18 +3031,26 @@ SELECT CAST(user_id AS varchar) AS k, count(*) AS cnt FROM events GROUP BY 1
 # --------------------------------------------------------------------
 def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
+    # Determinism: sum exact integer cents, not doubles — the grand-total
+    # rollup row sums 4.5M doubles past 1e12 where accumulation order
+    # flips the hundredths digit between engines (caught by the sf3 gate).
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                / F.lit(100.0)
+            ).alias("total"),
         )
     )
 
 
 _SQL_ORDER_ROLLUP = """
 SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         / 100.0 AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
