@@ -65,6 +65,12 @@ def main():
 
     spark = get_spark(app_name="compare_oracle", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
+    # Large-sf gates: an in-memory DuckDB cannot spill, and at sf10 the
+    # all-pairs-per-cluster oracles (semdedup) materialize >100 GB and
+    # take the host to the OOM killer.  Cap the oracle engine and give
+    # it a temp directory so it offloads instead of dying.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
