@@ -77,6 +77,9 @@ def make_sf(src: str, dst: str, k: int) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    # the K-way UNION ALL parses K levels deep; the default cap is 1000,
+    # which k=1000 (sf100) exceeds
+    con.execute(f"SET max_expression_depth TO {max(1000, 4 * k)}")
 
     strides = {
         ent: _stride(con, src, table, col)
