@@ -2,7 +2,16 @@
 queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01,
 compare row count, column names, and an order-insensitive value hash.
 
-Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+Usage: python tools/compare_oracle.py [--agg] [--skip NAME]... [sf_dir] [query ...]
+
+--agg moves the value comparison into the engines (see agg_hash.py):
+each side reduces its result to (count, sum(md5_lower64),
+sum(md5_upper64)) over identically-canonicalised rows, so nothing
+row-scale crosses the driver — the mode the sf100 gate needs, where
+the largest spot outputs are ~26M rows and collect-and-compare spends
+tens of GB of driver heap on verification.  Queries whose result
+schema has non-primitive columns fall back to the collect path
+automatically (printed as "PASS name (... rows, collect)").
 """
 
 from __future__ import annotations
@@ -57,6 +66,9 @@ def main():
         i = args.index("--skip")
         skip.add(args[i + 1])
         del args[i : i + 2]
+    agg_mode = "--agg" in args
+    if agg_mode:
+        args.remove("--agg")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -101,6 +113,62 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+
+        if agg_mode and name in osql:
+            import agg_hash
+
+            s_canon = agg_hash.spark_canon_expr(sdf.schema)
+            try:
+                d_desc = con.execute(f"DESCRIBE {osql[name]}").fetchall()
+                d_canon = agg_hash.duck_canon_expr(d_desc)
+            except Exception as e:
+                print(f"FAIL {name}: DUCKDB ERROR {str(e)[:300]}")
+                n_fail += 1
+                continue
+            if s_canon is not None and d_canon is not None:
+                d_cols = [r[0] for r in d_desc]
+                problems = []
+                if sorted(s_cols) != sorted(d_cols):
+                    problems.append(
+                        f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+                else:
+                    try:
+                        digest, aggs = agg_hash.spark_agg_exprs(s_canon)
+                        s_n, s_lo, s_hi = sdf.selectExpr(digest).selectExpr(
+                            *aggs).collect()[0]
+                    except Exception as e:
+                        print(f"FAIL {name}: SPARK ERROR "
+                              f"{type(e).__name__}: {str(e)[:300]}")
+                        n_fail += 1
+                        continue
+                    try:
+                        d_n, d_lo, d_hi = con.execute(
+                            agg_hash.duck_agg_sql(d_canon, osql[name])
+                        ).fetchone()
+                    except Exception as e:
+                        print(f"FAIL {name}: DUCKDB ERROR {str(e)[:300]}")
+                        n_fail += 1
+                        continue
+                    if s_n != d_n:
+                        problems.append(f"rows spark={s_n} duck={d_n}")
+                    elif (int(s_lo), int(s_hi)) != (int(d_lo), int(d_hi)):
+                        problems.append(
+                            f"agghash spark=({s_lo},{s_hi}) "
+                            f"duck=({d_lo},{d_hi})")
+                if problems:
+                    print(f"FAIL {name}: " + "; ".join(problems))
+                    n_fail += 1
+                else:
+                    print(f"PASS {name} ({s_n} rows, agg)")
+                    n_pass += 1
+                continue
+            # unsupported schema -> fall through to the collect path
+
+        try:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
@@ -138,7 +206,8 @@ def main():
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(s_rows)} rows)")
+            mode = ", collect" if agg_mode else ""
+            print(f"PASS {name} ({len(s_rows)} rows{mode})")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     spark.stop()
