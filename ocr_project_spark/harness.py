@@ -2460,12 +2460,19 @@ def _sql_bm25(k1: str, b: str, top_n: int) -> str:
     ``k1``/``b`` are decimal STRINGS so the SQL literal is the same
     IEEE double Spark's F.lit builds; association order mirrors
     operators/similarity.bm25_topk op-for-op."""
+    # toks and tf are MATERIALIZED: each has two consumers, and DuckDB
+    # inlines plain CTEs, so without the hint the corpus-wide regex
+    # tokenize (toks) and the token-stream aggregate (tf) run once per
+    # consumer — the rrf_hybrid oracle embeds TWO bm25 bodies, and at
+    # sf100 the 4-6 re-derived corpus chains spilled >200 GB of DuckDB
+    # temp and exhausted the disk.  (Same class of fix as _SQL_DSIR's
+    # feat.)
     return """
-WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+WITH toks AS MATERIALIZED (SELECT doc_id, {toks} AS t FROM documents),
 dl AS (SELECT doc_id, len(t) AS dl FROM toks),
 stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
 tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 q AS (SELECT * FROM (VALUES (0, 'hash join merge'), (1, 'window sort order'),
                             (2, 'customer query stream')) AS t(query_id, qtext)),
@@ -2608,7 +2615,12 @@ WITH tok AS (SELECT doc_id, lang, unnest({toks}) AS w,
 bg AS (SELECT doc_id, lang, w AS w1,
               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
        FROM tok),
-feat AS (SELECT doc_id, lang,
+-- MATERIALIZED: feat has four consumers (ct, cr, ns twice via
+-- subqueries, per); DuckDB inlines plain CTEs, so without the hint
+-- the 9-figure-row tokenize->window->md5 chain above runs once PER
+-- CONSUMER — at sf100 that spilled >200 GB and exhausted the disk.
+-- The materialized table is just (doc_id, lang, bucket).
+feat AS MATERIALIZED (SELECT doc_id, lang,
                 CAST(CAST(('0x' || substring(md5(w1 || '|' || w2), 1, 8))
                           AS UBIGINT) % 512 AS BIGINT) AS bucket
          FROM bg WHERE w2 IS NOT NULL),

@@ -75,7 +75,14 @@ def main():
     import __spark_entry__ as entrymod
     from ocr_project_spark.session import get_spark
 
-    spark = get_spark(app_name="compare_oracle", master="local[8]", shuffle_partitions=16)
+    # large-sf gates want more cores/partitions than the sf0.01 default;
+    # the driver-replica default stays local[8]/16 for comparability
+    spark = get_spark(
+        app_name="compare_oracle",
+        master=os.environ.get("COMPARE_ORACLE_MASTER", "local[8]"),
+        shuffle_partitions=int(
+            os.environ.get("COMPARE_ORACLE_SHUFFLE", "16")),
+    )
     con = duckdb.connect()
     # Large-sf gates: an in-memory DuckDB cannot spill, and at sf10 the
     # all-pairs-per-cluster oracles (semdedup) materialize >100 GB and
