@@ -184,12 +184,11 @@ FROM k
 """.format(toks=_WS_TOKS.format(c="text"), ctoks=_WS_TOKS.format(c="ch.txt"))
 
 
-def _derived_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text -> spans-shaped docs (10-token chunks), the input
-    the engine-path queries share with extract_chunked_spans.  Tokens
-    are materialized in a projection first so chunking does not
+def _span_docs_from(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text) -> spans-shaped docs (10-token chunks).
+    Tokens are materialized in a projection first so chunking does not
     re-tokenize per chunk (functions/text.chunk_tokens; measured 1.8x)."""
-    base = T(spark, sf_dir, "documents").select(
+    base = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         TX.tokens(F.col("text")).alias("_toks"),
     )
@@ -205,6 +204,12 @@ def _derived_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("spans"),
     )
+
+
+def _derived_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-shaped docs over the full documents table — the input the
+    engine-path queries share with extract_chunked_spans."""
+    return _span_docs_from(T(spark, sf_dir, "documents"))
 
 
 def _spans_out_flat(out: DataFrame) -> DataFrame:
@@ -1004,15 +1009,19 @@ FROM documents GROUP BY 1
 #      oracle-checked end-to-end as one query.
 # --------------------------------------------------------------------
 def q_dedup_then_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup composed with extraction — keeper filter BEFORE the
+    span derivation.  Catalyst's PushDownLeftSemiAntiJoin does not
+    push the semi-join below the chunk/struct projection here (the
+    join key is an aliased cast), so the join is placed below it by
+    hand: at a real web-corpus duplicate rate (30-50%) deriving spans
+    for documents the keeper filter then drops is pure wasted CPU.
+    The single-scan alternative (windowed keeper, no join-back) is
+    the curate_corpus design (operators/curate.py)."""
     from ocr_project_spark.operators.extract import extract
 
     d = T(spark, sf_dir, "documents")
     keepers = DD.exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
-    kept = _derived_span_docs(spark, sf_dir).join(
-        keepers.select(F.col("doc_id").cast("string").alias("doc_id")),
-        "doc_id",
-        "left_semi",
-    )
+    kept = _span_docs_from(d.join(keepers, "doc_id", "left_semi"))
     return _spans_out_flat(extract(kept, None))
 
 
