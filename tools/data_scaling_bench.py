@@ -18,10 +18,10 @@ into ONE JVM heap: allocation/GC contention that a real 4-executor
 cluster (4 separate heaps) never sees.  Measured at sf100
 (BASELINE.md "Round-5 data-table scaling"): this tool reads 0.33-0.54
 per job, while the SAME jobs on the SAME host in separate-JVM
-protocols read 0.84 (4x concurrent local[8] JVMs) and 0.96
-(standalone cluster, 1 -> 4 executor JVMs, tools/
-data_cluster_bench.sh — the honest emulation; use that one).  Kept
-as the contrast datapoint and the fast smoke-probe.
+protocols read 0.84 (4x concurrent local[8] JVMs) and 0.91-0.93
+total / 0.85-1.3 marginal (standalone cluster, 1 -> 4 executor JVMs,
+tools/data_cluster_bench.sh — the honest emulation; use that one).
+Kept as the contrast datapoint and the fast smoke-probe.
 
 Usage:
     python tools/data_scaling_bench.py [sf_dir]          # default /tmp/sf100
