@@ -64,6 +64,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="(doc_id, text) parquet")
     p.add_argument("--output", required=True)
     p.add_argument("--run-id", required=True)
+    p.add_argument(
+        "--repartition-input", type=int, default=None, metavar="N",
+        help="repartition the input to N partitions before stage 0. "
+        "Use when the input parquet carries fewer row groups than the "
+        "cluster has cores: row groups are the atomic scan-split unit, "
+        "so a low-row-group file caps scan parallelism no matter what "
+        "maxPartitionBytes says, and the ladder's per-stage persist "
+        "freezes that cap into EVERY stage (measured: a 5-row-group "
+        "500k-doc input ran the whole ladder ~serial on a 32-core "
+        "cluster — BASELINE.md, curation-ladder scaling). Costs one "
+        "up-front shuffle of the raw corpus; prefer fixing the "
+        "ingest writer's rows-per-file when you own it.",
+    )
     p.add_argument("--master", default=None, help="override master (tests)")
     p.add_argument("--parallelism", type=int, default=None)
     p.add_argument(
@@ -169,6 +182,10 @@ def main(argv: list[str] | None = None) -> int:
         return df
 
     cur = spark.read.parquet(args.input).select("doc_id", "text")
+    if args.repartition_input is not None:
+        # before record(): the persist freezes partitioning for the
+        # whole ladder, so the repair must precede the first cache
+        cur = cur.repartition(args.repartition_input)
     cur = record(cur, "00_input")
 
     if args.cap_per_source is not None:

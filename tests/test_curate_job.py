@@ -133,3 +133,61 @@ def test_cap_per_source_stage(tmp_path):
     ]
     docs = [f["n_docs"] for f in funnel]
     assert docs == [500, 40, 40]
+
+
+def test_repartition_input_repairs_low_parallelism(spark, tmp_path):
+    """--repartition-input N must (a) actually widen the partitioning
+    the ladder's first persist freezes — the single-file sf0.001
+    fixture scans as 1 task without it — and (b) leave the output row
+    set identical to the unrepartitioned run (repartition is a
+    row-preserving shuffle)."""
+    from ocr_project_spark.curate_job import main
+
+    outs = {}
+    for tag, extra in [("plain", []), ("rep", ["--repartition-input", "6"])]:
+        out = str(tmp_path / tag)
+        rc = main(
+            [
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--output", out,
+                "--run-id", "r",
+                "--scrub-pii", "--exact-dedup",
+            ]
+            + extra
+        )
+        assert rc == 0
+        outs[tag] = os.path.join(out, "r", "corpus.parquet")
+    plain = spark.read.parquet(outs["plain"])
+    rep = spark.read.parquet(outs["rep"])
+    # (a) the write inherits the repaired partitioning (dedup's
+    # aggregate re-shuffles, so compare the parallel file counts of
+    # a projection-only run instead: scrub-pii alone)
+    # (b) row-set equality through the full pii+dedup ladder
+    assert plain.count() == rep.count()
+    assert (
+        plain.exceptAll(rep).count() == 0 and rep.exceptAll(plain).count() == 0
+    )
+    # projection-only run: partition repair must survive to the writer
+    for tag, extra, want in [
+        ("p1", [], 1),
+        ("p6", ["--repartition-input", "6"], 6),
+    ]:
+        out = str(tmp_path / ("pii_" + tag))
+        rc = main(
+            [
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--output", out,
+                "--run-id", "r",
+                "--scrub-pii",
+            ]
+            + extra
+        )
+        assert rc == 0
+        n_files = len(
+            [
+                f
+                for f in os.listdir(os.path.join(out, "r", "corpus.parquet"))
+                if f.startswith("part-")
+            ]
+        )
+        assert n_files == want, (tag, n_files)
