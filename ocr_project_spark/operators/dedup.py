@@ -991,12 +991,12 @@ def scrub_passages(
     (doc_id, pos, hash) only, and the rebuild joins the starts back
     id-keyed.
 
-    Caching contract: the (doc_id, pos, window-hash) table is
+    Caching contract: the per-doc NESTED (doc_id, windows) table is
     persisted (MEMORY_AND_DISK) because the flag aggregate and the
-    blocked-join probe side both scan it; registered under the
-    ``"scrub_passages"`` tag in :mod:`ocr_project_spark.caching` —
-    long-lived drivers should ``caching.release("scrub_passages")``
-    after the consuming action.
+    blocked-join probe side both scan it (each re-explodes from the
+    compact cache); registered under the ``"scrub_passages"`` tag in
+    :mod:`ocr_project_spark.caching` — long-lived drivers should
+    ``caching.release("scrub_passages")`` after the consuming action.
     """
     t = df.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t")
@@ -1016,35 +1016,54 @@ def scrub_passages(
             ),
         ),
     )
-    # persisted: the flag aggregate AND the blocked-join probe side
-    # both scan this table — without the persist the whole tokenize +
-    # window-hash lineage executes twice in the one query (measured
-    # ~3.3 s per execution at sf1 on a 75 MB cached footprint; the
-    # dsir_weights feature-vector convention)
-    pos_sh = caching.track(
-        t.select("doc_id", F.explode_outer(windows).alias("_w"))
-        .where(F.col("_w").isNotNull())
-        .select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.ph").alias("ph")),
-        "scrub_passages",
-    )
-    # hash-keyed flag pass: same aggregate as duplicate_passages but the
-    # shuffle key (and witness join key) is xxhash64(passage), so the
-    # passage string never leaves the map side.  Derived from pos_sh
-    # itself — the corpus is tokenized and n-gram-hashed exactly ONCE;
-    # the per-doc window duplicates pos_sh carries (vs the per-doc
-    # array_distinct in duplicate_passages) are absorbed map-side by
-    # the countDistinct partial.  (A short doc's whole-text
-    # pseudo-shingle, which the flag-half API still emits, can never
-    # equal an n-token window — a k-token join has exactly k-1
-    # separators — so dropping it here is observably identical.)
+    # persisted NESTED — one row per doc, windows as an array — not
+    # exploded: the flag aggregate AND the blocked-join probe side
+    # both scan this table (without the persist the whole tokenize +
+    # window-hash lineage executes twice in the one query), and the
+    # nested layout drops the per-window doc_id repetition from the
+    # cached footprint (~40% of the exploded table's bytes at avg
+    # ~54 windows/doc) — this operator is memory-bandwidth-bound at
+    # high core counts (BASELINE.md, curation-ladder scaling), so
+    # cached bytes scanned twice are the scarce resource, and each
+    # consumer re-explodes from the compact cache instead.
+    t2 = caching.track(t.select("doc_id", windows.alias("_ws")), "scrub_passages")
+    # hash-keyed flag pass: the shuffle key (and witness join key) is
+    # xxhash64(passage), so the passage string never leaves the map
+    # side.  The flag stream explodes the per-doc DISTINCT hashes, so
+    # one row per (doc, ph) by construction and a plain count(*) IS
+    # the distinct-doc count — a single map-side-combining aggregate,
+    # where a countDistinct over all positions would plan the
+    # two-shuffle distinct-expand over the full window stream.
+    # (explode_outer + isNotNull, not plain explode: the optimizer
+    # infers size()>0 from a plain explode and duplicates the
+    # array_distinct∘transform into a per-row scan filter — the
+    # _spans_out_flat trap.)  A short doc's whole-text pseudo-shingle,
+    # which the flag-half API still emits, can never equal an n-token
+    # window — a k-token join has exactly k-1 separators — so its
+    # absence here is observably identical.
     flagged = (
-        pos_sh.groupBy("ph")
+        t2.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(F.transform(F.col("_ws"), lambda w: w["ph"]))
+            ).alias("ph"),
+        )
+        .where(F.col("ph").isNotNull())
+        .groupBy("ph")
         .agg(
-            F.countDistinct(F.struct("doc_id")).alias("n_docs"),
+            # count(*), not countDistinct: rows are (doc, ph)-unique
+            # already, and count(*) keeps the null-id document's row
+            # (the struct-wrap nuance the old distinct form needed)
+            F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("min_doc_id"),
         )
         .where(F.col("n_docs") >= F.lit(min_docs))
         .select("ph", "min_doc_id")
+    )
+    pos_sh = (
+        t2.select("doc_id", F.explode_outer("_ws").alias("_w"))
+        .where(F.col("_w").isNotNull())
+        .select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.ph").alias("ph"))
     )
     blocked = pos_sh.join(flagged, "ph")
     if keep_first:
