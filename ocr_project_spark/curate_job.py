@@ -80,6 +80,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--master", default=None, help="override master (tests)")
     p.add_argument("--parallelism", type=int, default=None)
     p.add_argument(
+        "--funnel", choices=("persist", "observe"), default="persist",
+        help="funnel accounting mode. 'persist' (default) materializes "
+        "every stage (persist + count action): each stage's cost is "
+        "attributable in isolation and at most two stages are resident, "
+        "but the whole corpus streams through the cache once PER stage. "
+        "'observe' fuses the ladder into one write action and rides the "
+        "per-stage (docs, tokens) counts on df.observe() metrics — the "
+        "corpus streams ONCE, and only stages whose construction fans "
+        "out over their input (gopher/scrub-passages/lm/dsir/bpe/shards "
+        "build a model or key set from the same rows they then filter) "
+        "persist that input, lazily, inside the single action.  At "
+        "10^12-doc scale 'observe' is the production mode: per-stage "
+        "materialization multiplies corpus I/O by the ladder depth, "
+        "which a memory-bandwidth-bound host cannot hide (BASELINE.md, "
+        "curation-ladder scaling); funnel.json is identical either way.",
+    )
+    p.add_argument(
         "--cap-per-source", type=int, default=None, metavar="N",
         help="keep at most N docs per source column value "
         "(deterministic salted-hash lottery; input must carry 'source')",
@@ -94,6 +111,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--scrub-passages", type=int, default=None, metavar="N",
         help="remove cross-document duplicated word N-grams (witness kept)",
+    )
+    p.add_argument(
+        "--scrub-broadcast", action="store_true",
+        help="broadcast the scrub stage's duplicate-side artifacts "
+        "(flagged vocabulary + blocked-starts) instead of shuffle-"
+        "joining them: removes both corpus-scale exchanges (the window "
+        "stream and the token arrays stop shuffling; only the global "
+        "flag aggregate remains).  Use when duplication is sparse "
+        "(flagged set a few %% of the corpus); the default shuffle "
+        "path degrades gracefully when it is not.",
     )
     p.add_argument("--exact-dedup", action="store_true")
     p.add_argument(
@@ -156,9 +183,26 @@ def main(argv: list[str] | None = None) -> int:
         return F.size(F.array_remove(F.split(F.coalesce(c, F.lit("")), r"\s+"), ""))
 
     funnel: list[dict] = []
-    _live: list = []  # previous stage's persisted frame, for release
+    _live: list = []  # persisted frames pending release
+    _observed: list = []  # (stage, Observation) in ladder order
+
+    def _counts():
+        return (
+            F.count(F.lit(1)).alias("d"),
+            F.coalesce(F.sum(ntok(F.col("text"))), F.lit(0)).alias("t"),
+        )
 
     def record(df, stage):
+        if args.funnel == "observe":
+            # no action, no cache: attach a named metrics node and let
+            # the final write action stream the rows past it exactly
+            # once.  Counts resolve after the write (order preserved).
+            from pyspark.sql import Observation
+
+            obs = Observation(f"funnel_{stage}")
+            df = df.observe(obs, *_counts())
+            _observed.append((stage, obs))
+            return df
         # persist BEFORE counting: the funnel action materializes the
         # stage once and the next stage reads the cache instead of
         # re-executing the whole upstream lineage per stage (O(stages²)
@@ -169,15 +213,36 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        row = df.agg(
-            F.count(F.lit(1)).alias("d"),
-            F.coalesce(F.sum(ntok(F.col("text"))), F.lit(0)).alias("t"),
-        ).collect()[0]
+        row = df.agg(*_counts()).collect()[0]
         funnel.append(
             {"stage": stage, "n_docs": int(row["d"]), "n_tokens": int(row["t"])}
         )
         while _live:
             _live.pop().unpersist()
+        _live.append(df)
+        return df
+
+    def fanout_input(df):
+        # observe mode only: a stage that consumes its input in more
+        # than one subtree (model build / key-set election + the join
+        # back onto the same rows) would re-execute the entire fused
+        # upstream lineage once per subtree.  Persist the input and
+        # fill the cache EAGERLY (count()): if the fill were left to
+        # the final write action, the two consuming subtrees are
+        # independent shuffle-map stages that the scheduler runs
+        # CONCURRENTLY, both compute the same uncached partitions, and
+        # every observe() node above the cache double-fires (measured
+        # on the standalone cluster: 00_input counted 656k docs of a
+        # 500k corpus).  The eager fill is one deterministic pass that
+        # fires each upstream observation exactly once; both subtrees
+        # then read the warm cache.  MEMORY_AND_DISK so eviction can't
+        # reopen the race.  Resident until the write completes.
+        if args.funnel != "observe":
+            return df
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
         _live.append(df)
         return df
 
@@ -215,6 +280,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.gopher:
         from ocr_project_spark.operators.curate import gopher_rules
 
+        cur = fanout_input(cur)
         keep = gopher_rules(cur, **gk).where("keep").select("doc_id")
         cur = cur.join(keep, "doc_id")
         cur = record(cur, "20_gopher")
@@ -228,23 +294,41 @@ def main(argv: list[str] | None = None) -> int:
     if args.scrub_passages is not None:
         from ocr_project_spark.operators.dedup import scrub_passages
 
-        cur = scrub_passages(cur, n=args.scrub_passages).select(
-            "doc_id", F.col("clean_text").alias("text")
-        )
+        # scrub consumes its input twice: the window-hash cache build
+        # and the rebuild join both derive from the tokenized input
+        cur = fanout_input(cur)
+        cur = scrub_passages(
+            cur,
+            n=args.scrub_passages,
+            broadcast_artifacts=args.scrub_broadcast,
+        ).select("doc_id", F.col("clean_text").alias("text"))
         cur = record(cur, "40_scrub_passages")
 
     if args.exact_dedup:
-        from ocr_project_spark.operators.dedup import exact_dedup
+        from pyspark.sql import Window
 
-        keepers = exact_dedup(cur).select(
-            F.col("keeper_id").alias("doc_id")
+        from ocr_project_spark.operators.dedup import normalized_text
+
+        # window-rank form of exact_dedup's keeper election: ONE
+        # exchange on the text hash and no join back onto the corpus
+        # (the groupBy+join form scans the stage twice and plans a
+        # second exchange).  Same survivor set as joining on
+        # exact_dedup().keeper_id: the min-non-null-id row per
+        # identical normalized text survives, null-id rows never do
+        # (min() skips nulls; an equi-join on doc_id drops them).
+        w = Window.partitionBy("_th").orderBy(F.asc_nulls_last("doc_id"))
+        cur = (
+            cur.withColumn("_th", F.md5(normalized_text(F.col("text"))))
+            .withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & F.col("doc_id").isNotNull())
+            .drop("_rn", "_th")
         )
-        cur = cur.join(keepers, "doc_id")
         cur = record(cur, "50_exact_dedup")
 
     if args.lm_cutoffs is not None:
         from ocr_project_spark.operators.curate import lm_score
 
+        cur = fanout_input(cur)
         bands = lm_score(cur, cutoffs=(t1, t2)).where(
             F.col("band").isin(keep_bands)
         ).select("doc_id")
@@ -256,6 +340,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.dsir_target is not None:
         from ocr_project_spark.operators.curate import dsir_sample
 
+        cur = fanout_input(cur)
         target = spark.read.parquet(args.dsir_target).select("doc_id", "text")
         sel = dsir_sample(
             cur, target, args.dsir_n, seed=args.run_id
@@ -268,6 +353,11 @@ def main(argv: list[str] | None = None) -> int:
         from ocr_project_spark.functions.bpe import apply_bpe, learn_bpe
         from ocr_project_spark.operators.pack import pack_sequences
 
+        # learn_bpe is an action (driver-side merge training): in
+        # observe mode its sample scan is the first consumer of the
+        # guarded cache, so the fused upstream executes once here and
+        # the final write reads the cache
+        cur = fanout_input(cur)
         merges = learn_bpe(cur, n_merges=args.bpe_merges)
         counts = apply_bpe(cur, merges)
         packed = pack_sequences(
@@ -281,6 +371,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.shards is not None:
         from ocr_project_spark.operators.curate import shuffle_shards
 
+        cur = fanout_input(cur)
         sh = shuffle_shards(
             cur.select("doc_id"), n_shards=args.shards, salt=args.shard_salt
         )
@@ -295,7 +386,21 @@ def main(argv: list[str] | None = None) -> int:
     cur.select("doc_id", "text", *extra_cols).write.mode(
         "overwrite"
     ).parquet(corpus_path)
-    record(spark.read.parquet(corpus_path), "90_written")
+    if args.funnel == "observe":
+        # the write action just streamed every stage; harvest the
+        # observed per-stage counts (ladder order) before the
+        # write-validation count below
+        for stage, obs in _observed:
+            m = obs.get
+            funnel.append(
+                {"stage": stage, "n_docs": int(m["d"]), "n_tokens": int(m["t"])}
+            )
+    row = spark.read.parquet(corpus_path).agg(*_counts()).collect()[0]
+    funnel.append(
+        {"stage": "90_written", "n_docs": int(row["d"]), "n_tokens": int(row["t"])}
+    )
+    while _live:
+        _live.pop().unpersist()
 
     _write_text_file(
         spark,

@@ -942,6 +942,7 @@ def scrub_passages(
     n: int = 5,
     min_docs: int = 2,
     keep_first: bool = True,
+    broadcast_artifacts: bool = False,
 ) -> DataFrame:
     """Remove cross-document duplicated passages from the text — the
     scrub half of the Lee et al. 2022 exact-substring dedup tier
@@ -997,6 +998,23 @@ def scrub_passages(
     compact cache); registered under the ``"scrub_passages"`` tag in
     :mod:`ocr_project_spark.caching` — long-lived drivers should
     ``caching.release("scrub_passages")`` after the consuming action.
+
+    ``broadcast_artifacts``: the two duplicate-side tables — the
+    flagged vocabulary (repeated n-grams only) and the per-doc
+    blocked-starts aggregate (docs that lose >= 1 window) — are
+    usually a small fraction of the corpus (measured on the synthetic
+    sf10m corpus: 4.7% of the gram vocabulary, 4.9% of the docs).
+    With the hint, both joins become broadcast hash joins and the two
+    corpus-scale exchanges disappear: the (doc, pos, hash) window
+    stream is probed map-side instead of shuffled+sorted, and the
+    rebuild join stops shuffling the token arrays entirely — the only
+    remaining corpus-scale exchange is the global flag aggregate,
+    which is irreducible (every window must be counted across
+    documents).  Leave False (shuffle joins, AQE decides) when
+    duplication is dense — boilerplate-heavy web corpora can have a
+    flagged set that is itself corpus-scale, and a forced broadcast
+    of it would OOM the driver; the default path degrades gracefully,
+    the hinted path does not.
     """
     t = df.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t")
@@ -1065,6 +1083,8 @@ def scrub_passages(
         .where(F.col("_w").isNotNull())
         .select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.ph").alias("ph"))
     )
+    if broadcast_artifacts:
+        flagged = F.broadcast(flagged)
     blocked = pos_sh.join(flagged, "ph")
     if keep_first:
         # null-safe: a null-id document must still be scrubbed (a
@@ -1077,6 +1097,8 @@ def scrub_passages(
     starts = blocked.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("pos")).alias("_ss")
     )
+    if broadcast_artifacts:
+        starts = F.broadcast(starts)
     ss = F.coalesce(F.col("_ss"), F.expr("array()").cast("array<int>"))
     # gap-merge rebuild: starts are sorted and every blocked interval
     # is [s, s+n), so the union's free gaps are (head) [0, ss[0]),

@@ -135,6 +135,41 @@ def test_cap_per_source_stage(tmp_path):
     assert docs == [500, 40, 40]
 
 
+def test_observe_funnel_matches_persist(spark, tmp_path):
+    """--funnel observe (single fused write action, counts via
+    df.observe) must produce byte-identical funnel.json numbers and
+    the same corpus row set as the default per-stage persist ladder —
+    including through every fan-out stage kind: gopher (key-set
+    join), scrub-passages (dual-scan cache), exact-dedup (window),
+    lm filter (corpus-model join), shards (key fan-out)."""
+    from ocr_project_spark.curate_job import main
+
+    argv_common = [
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--run-id", "p",
+        "--gopher", "--gopher-set", "min_stopwords=1",
+        "--gopher-set", "min_words=25",
+        "--scrub-passages", "5",
+        "--exact-dedup",
+        "--lm-cutoffs", "3.0,3.6", "--lm-keep", "head,middle",
+        "--shards", "4",
+    ]
+    funnels, frames = {}, {}
+    for mode in ("persist", "observe"):
+        out = str(tmp_path / mode)
+        rc = main(argv_common + ["--output", out, "--funnel", mode])
+        assert rc == 0
+        funnels[mode] = json.load(
+            open(os.path.join(out, "p", "funnel.json"))
+        )["funnel"]
+        frames[mode] = spark.read.parquet(
+            os.path.join(out, "p", "corpus.parquet")
+        )
+    assert funnels["observe"] == funnels["persist"]
+    a, b = frames["persist"], frames["observe"]
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_repartition_input_repairs_low_parallelism(spark, tmp_path):
     """--repartition-input N must (a) actually widen the partitioning
     the ladder's first persist freezes — the single-file sf0.001

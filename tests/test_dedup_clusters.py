@@ -617,6 +617,44 @@ def test_scrub_passages_overlaps_merge_and_keep_first_off(spark):
     assert allscrub[3] == "m n o"
 
 
+def test_scrub_passages_broadcast_artifacts_identical(spark):
+    """broadcast_artifacts=True must be a pure plan change: identical
+    output on the real sf0.001 corpus (incl. the witness convention
+    and the null-id doc), and the token arrays must no longer cross an
+    exchange — the rebuild join becomes a broadcast hash join."""
+    from ocr_project_spark.operators.dedup import scrub_passages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = scrub_passages(docs, n=5, min_docs=2)
+    bcast = scrub_passages(docs, n=5, min_docs=2, broadcast_artifacts=True)
+    assert base.exceptAll(bcast).count() == 0
+    assert bcast.exceptAll(base).count() == 0
+    # at sf0.001 the static planner broadcasts both joins on size
+    # estimates alone; emulate the at-scale planner state (estimates
+    # past the threshold -> SMJ) by disabling auto-broadcast: the
+    # hint must still produce broadcast joins, the un-hinted plan must
+    # degrade to shuffle joins with more exchanges
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = scrub_passages(
+            docs, n=5, min_docs=2, broadcast_artifacts=True
+        )._jdf.queryExecution().executedPlan().toString()
+        base_plan = scrub_passages(
+            docs, n=5, min_docs=2
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" in base_plan
+    # only the global flag aggregate (and the starts aggregate over
+    # the small blocked subset) still exchange
+    assert plan.count("Exchange hashpartitioning") < base_plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
 def test_scrub_passages_matches_flag_accounting(spark):
     """Every token removed corresponds to coverage by a flagged
     passage on the real sf0.001 corpus; docs flagged nowhere are
