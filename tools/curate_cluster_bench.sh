@@ -67,29 +67,45 @@ for i in 1 2 3 4; do
 done
 sleep 8
 
+# REPS x alternating arms, min-over-reps per arm: single cold-submit
+# walls on this shared VM swing +/-50% (measured 45-238 s for the
+# IDENTICAL 32-core command within one hour), so one run per arm is
+# noise, not signal — same min-over-reps protocol as bench.py.
+# The job runs the scale configuration: --funnel observe (one fused
+# write action; per-stage counts ride df.observe) and
+# --scrub-broadcast (this corpus's duplicate artifacts are ~5%, the
+# sparse regime the flag documents).
+REPS="${REPS:-3}"
 declare -A WALL
-for CORES in 8 32; do
-  for SF in "$SF_SMALL" "$SF_BIG"; do
-    TAG="$(basename "$SF")_$CORES"
-    OUT=/tmp/curate_cluster_out_$TAG
-    rm -rf "$OUT"
-    T0=$(date +%s.%N)
-    /opt/spark/bin/spark-submit \
-      --master spark://127.0.0.1:7077 \
-      --py-files "$ROOT/dist/ocr_project_spark.zip" \
-      --conf spark.cores.max=$CORES \
-      --conf spark.executor.cores=8 \
-      --conf spark.executor.memory=12g \
-      --conf spark.sql.shuffle.partitions=$((2 * CORES)) \
-      --conf spark.sql.files.maxPartitionBytes=8m \
-      "$ROOT/ocr_project_spark/curate_job.py" \
-      --input "$SF/documents.parquet" --output "$OUT" --run-id "cc" \
-      --scrub-pii --exact-dedup --scrub-passages 8 \
-      2>&1 | tail -2
-    T1=$(date +%s.%N)
-    WALL[$TAG]=$(python -c "print(round($T1-$T0,1))")
-    echo "ARM $TAG wall=${WALL[$TAG]}s"
-    python -c "import json;f=json.load(open('$OUT/cc/funnel.json'));print(' funnel:', [(s['stage'],s['n_docs']) for s in f['funnel']])" || true
+for REP in $(seq "$REPS"); do
+  for CORES in 8 32; do
+    for SF in "$SF_SMALL" "$SF_BIG"; do
+      TAG="$(basename "$SF")_$CORES"
+      OUT=/tmp/curate_cluster_out_$TAG
+      rm -rf "$OUT"
+      T0=$(date +%s.%N)
+      /opt/spark/bin/spark-submit \
+        --master spark://127.0.0.1:7077 \
+        --py-files "$ROOT/dist/ocr_project_spark.zip" \
+        --conf spark.cores.max=$CORES \
+        --conf spark.executor.cores=8 \
+        --conf spark.executor.memory=12g \
+        --conf spark.sql.shuffle.partitions=$((2 * CORES)) \
+        --conf spark.sql.files.maxPartitionBytes=8m \
+        "$ROOT/ocr_project_spark/curate_job.py" \
+        --input "$SF/documents.parquet" --output "$OUT" --run-id "cc" \
+        --funnel observe --scrub-broadcast \
+        --scrub-pii --exact-dedup --scrub-passages 8 \
+        > /tmp/curate_bench_$TAG.log 2>&1
+      T1=$(date +%s.%N)
+      W=$(python -c "print(round($T1-$T0,1))")
+      PREV="${WALL[$TAG]:-}"
+      if [ -z "$PREV" ] || python -c "exit(0 if $W < $PREV else 1)"; then
+        WALL[$TAG]=$W
+      fi
+      echo "rep$REP ARM $TAG wall=${W}s (min so far ${WALL[$TAG]})"
+      python -c "import json;f=json.load(open('$OUT/cc/funnel.json'));print(' funnel:', [(s['stage'],s['n_docs']) for s in f['funnel']])" || true
+    done
   done
 done
 
