@@ -24,6 +24,7 @@ Usage (all stages optional; omitted stages pass through):
 
     spark-submit --py-files dist/pkg.zip ocr_project_spark/curate_job.py \
         --input docs.parquet --output /out --run-id r1 \
+        --funnel observe --scrub-broadcast \
         --clean-lines --gopher --gopher-set min_stopwords=1 \
         --scrub-pii --scrub-passages 5 --exact-dedup \
         --lm-cutoffs 3.4,3.5 --lm-keep head,middle \

@@ -147,11 +147,14 @@ def test_observe_funnel_matches_persist(spark, tmp_path):
     argv_common = [
         "--input", "/root/testdata/sf0.001/documents.parquet",
         "--run-id", "p",
+        "--cap-per-source", "20",
         "--gopher", "--gopher-set", "min_stopwords=1",
         "--gopher-set", "min_words=25",
         "--scrub-passages", "5",
         "--exact-dedup",
         "--lm-cutoffs", "3.0,3.6", "--lm-keep", "head,middle",
+        "--dsir-target", "/root/testdata/sf0.001/documents.parquet",
+        "--dsir-n", "100",
         "--shards", "4",
     ]
     funnels, frames = {}, {}
