@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "dsir_weights",
     "scrub_passages",
+    "scrub_passages_broadcast",
     "rrf_hybrid",
 ]
 

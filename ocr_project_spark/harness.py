@@ -2681,6 +2681,21 @@ def q_scrub_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_passages(T(spark, sf_dir, "documents"), n=5, min_docs=2)
 
 
+def q_scrub_passages_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse-duplication tier of the same operator: flagged
+    vocabulary + blocked-starts broadcast, so the window stream and
+    the token arrays never shuffle (only the global flag aggregate
+    does).  Same output contract and oracle as scrub_passages — the
+    hint is a pure plan change, pinned identical in
+    test_scrub_passages_broadcast_artifacts_identical."""
+    from ocr_project_spark.operators.dedup import scrub_passages
+
+    return scrub_passages(
+        T(spark, sf_dir, "documents"), n=5, min_docs=2,
+        broadcast_artifacts=True,
+    )
+
+
 _SQL_SCRUB_PASSAGES = """
 WITH t AS (SELECT doc_id, {toks} AS t FROM documents),
 win AS (SELECT doc_id, u.i - 1 AS pos,
@@ -3670,6 +3685,9 @@ LOCAL_QUERIES = {
     "jaccard_adjacent": q_jaccard_adjacent,
     "extract_chunked_spans": q_extract_chunked_spans,
     "extract_pandas_spans": q_extract_pandas_spans,
+    # the broadcast tier of the driver-checked scrub_passages: same
+    # oracle SQL (the hint is a pure plan change)
+    "scrub_passages_broadcast": q_scrub_passages_broadcast,
     "gap_class": q_gap_class,
     "customers_no_orders": q_customers_no_orders,
     "customers_with_big_orders": q_customers_with_big_orders,
@@ -3714,6 +3732,7 @@ LOCAL_ORACLE_SQL = {
     "jaccard_adjacent": _SQL_JACCARD_ADJ,
     "extract_chunked_spans": _SQL_EXTRACT_CHUNKED,
     "extract_pandas_spans": _SQL_EXTRACT_CHUNKED,
+    "scrub_passages_broadcast": _SQL_SCRUB_PASSAGES,
     "gap_class": _SQL_GAP_CLASS,
     "customers_no_orders": _SQL_ANTI,
     "customers_with_big_orders": _SQL_SEMI,

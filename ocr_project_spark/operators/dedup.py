@@ -1014,7 +1014,16 @@ def scrub_passages(
     duplication is dense — boilerplate-heavy web corpora can have a
     flagged set that is itself corpus-scale, and a forced broadcast
     of it would OOM the driver; the default path degrades gracefully,
-    the hinted path does not.
+    the hinted path does not.  Corollary: with both joins broadcast
+    the operator is ONE narrow pipeline from scan to output, so scan
+    splits bound its parallelism end-to-end — the input-layout rule
+    (rows-per-file bounded at the ingest writer; README) is
+    load-bearing here, where the shuffle path's exchange would
+    re-spread a row-group-capped input as a side effect (measured: a
+    single-file 50k-doc input ran the broadcast tier 2-way and LOST
+    to the shuffle tier, 5.0 vs 3.9 s; the 64-file 500k-doc layout
+    wins 4.7 → 4.0 s at local[32], and on separate-JVM clusters the
+    savings include the serialized cross-executor shuffle itself).
     """
     t = df.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t")
