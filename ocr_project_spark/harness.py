@@ -3550,8 +3550,16 @@ FROM t GROUP BY 1, 2
 # error_rows) rotate to LOCAL_QUERIES.  After this round every
 # oracle-bearing query in the repo has been driver-verified at least
 # once.
+#
+# Round-5 continuation: the new broadcast tier of the passage scrub
+# (scrub_passages_broadcast — same oracle SQL, pure plan change)
+# takes a driver slot; bucket_ladder rotates to LOCAL_QUERIES (its
+# C9-C12 bucketing family keeps driver coverage via quality_scores,
+# driver-green every round).
 # --------------------------------------------------------------------
 SPARK_QUERIES = {
+    # --- promoted in round-5 continuation: first driver row ---
+    "scrub_passages_broadcast": q_scrub_passages_broadcast,
     # --- promoted in round 5: first-ever driver rows (last four) ---
     "corpus_funnel": q_corpus_funnel,
     "duplicate_passages": q_duplicate_passages,
@@ -3602,13 +3610,13 @@ SPARK_QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "quality_scores": q_quality_scores,
     "strategy_routing": q_strategy_routing,
-    "bucket_ladder": q_bucket_ladder,
     "xy_cut": q_xy_cut,
     "simhash64_pairs": q_simhash64_pairs,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLE_SQL = {
+    "scrub_passages_broadcast": _SQL_SCRUB_PASSAGES,
     "corpus_funnel": _SQL_CORPUS_FUNNEL,
     "duplicate_passages": _SQL_DUP_PASSAGES,
     "shuffle_shards": _SQL_SHUFFLE_SHARDS,
@@ -3655,7 +3663,6 @@ ORACLE_SQL = {
     "ann_lsh_topk": _SQL_ANN_LSH,
     "quality_scores": _SQL_QUALITY,
     "strategy_routing": _SQL_STRATEGY,
-    "bucket_ladder": _SQL_BUCKET,
     "xy_cut": _SQL_XY_CUT,
     "simhash64_pairs": _SQL_SIMHASH64_PAIRS,
     "embedding_near_dup": _SQL_EMB_NEAR_DUP,
@@ -3685,9 +3692,9 @@ LOCAL_QUERIES = {
     "jaccard_adjacent": q_jaccard_adjacent,
     "extract_chunked_spans": q_extract_chunked_spans,
     "extract_pandas_spans": q_extract_pandas_spans,
-    # the broadcast tier of the driver-checked scrub_passages: same
-    # oracle SQL (the hint is a pure plan change)
-    "scrub_passages_broadcast": q_scrub_passages_broadcast,
+    # rotated in the round-5 continuation: C9-C12 bucketing family
+    # keeps driver coverage via quality_scores
+    "bucket_ladder": q_bucket_ladder,
     "gap_class": q_gap_class,
     "customers_no_orders": q_customers_no_orders,
     "customers_with_big_orders": q_customers_with_big_orders,
@@ -3732,7 +3739,7 @@ LOCAL_ORACLE_SQL = {
     "jaccard_adjacent": _SQL_JACCARD_ADJ,
     "extract_chunked_spans": _SQL_EXTRACT_CHUNKED,
     "extract_pandas_spans": _SQL_EXTRACT_CHUNKED,
-    "scrub_passages_broadcast": _SQL_SCRUB_PASSAGES,
+    "bucket_ladder": _SQL_BUCKET,
     "gap_class": _SQL_GAP_CLASS,
     "customers_no_orders": _SQL_ANTI,
     "customers_with_big_orders": _SQL_SEMI,
