@@ -35,9 +35,11 @@ def test_entry_module_exposes_driver_contract():
     assert set(qs) == set(harness.SPARK_QUERIES)
     assert set(osql) == set(harness.ORACLE_SQL)
     # ordering is the sampling contract: never-checked/new entries first
-    # (round-5 rotation: the last four never-driver-checked oracles
-    # lead, then the round-4 curation/scoring block)
-    assert list(qs)[:16] == [
+    # (round-5 continuation: the new broadcast scrub tier leads, then
+    # the round-5 rotation block, then the round-4 curation/scoring
+    # block)
+    assert list(qs)[:17] == [
+        "scrub_passages_broadcast",
         "corpus_funnel", "duplicate_passages", "shuffle_shards",
         "tfidf_top_terms",
         "lm_perplexity", "bm25_topk", "dsir_weights", "scrub_passages",
