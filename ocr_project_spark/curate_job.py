@@ -183,9 +183,13 @@ def main(argv: list[str] | None = None) -> int:
     def ntok(c):
         return F.size(F.array_remove(F.split(F.coalesce(c, F.lit("")), r"\s+"), ""))
 
+    import time as _time
+
     funnel: list[dict] = []
     _live: list = []  # persisted frames pending release
     _observed: list = []  # (stage, Observation) in ladder order
+    _stage_wall: dict[str, float] = {}  # persist mode: per-stage action wall
+    _t_start = _time.monotonic()
 
     def _counts():
         return (
@@ -214,7 +218,12 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        t0 = _time.monotonic()
         row = df.agg(*_counts()).collect()[0]
+        # the count action materializes the stage, so its wall IS the
+        # stage's incremental cost — a per-stage attribution observe
+        # mode cannot give (stages fuse into one action by design)
+        _stage_wall[stage] = round(_time.monotonic() - t0, 3)
         funnel.append(
             {"stage": stage, "n_docs": int(row["d"]), "n_tokens": int(row["t"])}
         )
@@ -403,12 +412,22 @@ def main(argv: list[str] | None = None) -> int:
     while _live:
         _live.pop().unpersist()
 
-    _write_text_file(
-        spark,
-        f"{out_dir}/funnel.json",
-        json.dumps({"run_id": args.run_id, "funnel": funnel}, indent=1),
-    )
-    print(json.dumps({"run_id": args.run_id, "funnel": funnel}))
+    # throughput/lineage metrics alongside the funnel (the `funnel`
+    # key stays byte-identical across --funnel modes; timings live in
+    # their own keys): total wall + docs/sec always, per-stage action
+    # walls in persist mode only (observe fuses stages into one action)
+    wall_s = round(_time.monotonic() - _t_start, 3)
+    report = {
+        "run_id": args.run_id,
+        "funnel": funnel,
+        "wall_s": wall_s,
+        "docs_per_sec": round(funnel[0]["n_docs"] / wall_s, 1) if wall_s else None,
+        "funnel_mode": args.funnel,
+    }
+    if _stage_wall:
+        report["stage_wall_s"] = _stage_wall
+    _write_text_file(spark, f"{out_dir}/funnel.json", json.dumps(report, indent=1))
+    print(json.dumps(report))
     return 0
 
 

@@ -173,6 +173,33 @@ def test_observe_funnel_matches_persist(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_funnel_report_metrics(tmp_path):
+    """funnel.json carries throughput lineage: total wall + docs/sec
+    in both modes, per-stage action walls only in persist mode (observe
+    fuses all stages into the single write action by design)."""
+    from ocr_project_spark.curate_job import main
+
+    reports = {}
+    for mode in ("persist", "observe"):
+        out = str(tmp_path / mode)
+        rc = main(
+            [
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--output", out, "--run-id", "m", "--funnel", mode,
+                "--scrub-pii", "--exact-dedup",
+            ]
+        )
+        assert rc == 0
+        reports[mode] = json.load(open(os.path.join(out, "m", "funnel.json")))
+    for mode, r in reports.items():
+        assert r["wall_s"] > 0 and r["docs_per_sec"] > 0
+        assert r["funnel_mode"] == mode
+    assert set(reports["persist"]["stage_wall_s"]) == {
+        "00_input", "30_scrub_pii", "50_exact_dedup",
+    }
+    assert "stage_wall_s" not in reports["observe"]
+
+
 def test_repartition_input_repairs_low_parallelism(spark, tmp_path):
     """--repartition-input N must (a) actually widen the partitioning
     the ladder's first persist freezes — the single-file sf0.001
