@@ -92,6 +92,17 @@ def make_sf(src: str, dst: str, k: int) -> None:
             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
 
+    def _rg(table: str) -> int:
+        # row groups are the atomic scan-split unit (README input-layout
+        # rule): bound rows-per-group so every generated table carries
+        # >= 64 of them — DuckDB's default 122 880-row groups gave
+        # sf10's 500k-doc table 5 groups and capped every scan (and,
+        # through per-stage persists, whole jobs) at 5 tasks
+        n = con.execute(
+            f"SELECT count(*) FROM '{src}/{table}.parquet'"
+        ).fetchone()[0]
+        return max(2048, (n * k) // 64)
+
     for t, keys in KEYED.items():
         parts = []
         for r in range(k):
@@ -107,7 +118,7 @@ def make_sf(src: str, dst: str, k: int) -> None:
             parts.append(f"SELECT {sel} FROM '{src}/{t}.parquet'")
         con.execute(
             f"COPY ({' UNION ALL '.join(parts)}) "
-            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {_rg(t)})"
         )
 
     # documents: disjoint n-gram space per replica
@@ -126,7 +137,8 @@ def make_sf(src: str, dst: str, k: int) -> None:
             )
     con.execute(
         f"COPY ({' UNION ALL '.join(parts)}) "
-        f"TO '{dst}/documents.parquet' (FORMAT PARQUET)"
+        f"TO '{dst}/documents.parquet' "
+        f"(FORMAT PARQUET, ROW_GROUP_SIZE {_rg('documents')})"
     )
 
     # embeddings: rolled vectors, offset ids (numpy: list ops are easier
@@ -153,7 +165,11 @@ def make_sf(src: str, dst: str, k: int) -> None:
             "label": pa.array(np.concatenate(out_labels), pa.int32()),
         }
     )
-    pq.write_table(tbl, f"{dst}/embeddings.parquet")
+    pq.write_table(
+        tbl,
+        f"{dst}/embeddings.parquet",
+        row_group_size=max(2048, len(tbl) // 64),
+    )
     print(f"wrote {dst} = {src} x {k}")
 
 
