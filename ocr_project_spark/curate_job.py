@@ -91,7 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
         "corpus streams ONCE, and only stages whose construction fans "
         "out over their input (gopher/scrub-passages/lm/dsir/bpe/shards "
         "build a model or key set from the same rows they then filter) "
-        "persist that input, lazily, inside the single action.  At "
+        "persist that input — filled EAGERLY, which is load-bearing "
+        "(a lazily-shared cache double-fires upstream observations; "
+        "see fanout_input).  At "
         "10^12-doc scale 'observe' is the production mode: per-stage "
         "materialization multiplies corpus I/O by the ladder depth, "
         "which a memory-bandwidth-bound host cannot hide (BASELINE.md, "
@@ -253,6 +255,13 @@ def main(argv: list[str] | None = None) -> int:
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count()
+        # once THIS cache is filled, the write's lineage reaches every
+        # earlier fan-out cache only through it, so earlier caches are
+        # never read again — release them now to match the persist
+        # ladder's at-most-two-resident policy instead of accumulating
+        # one near-corpus-size cache per fan-out stage until the write
+        while _live:
+            _live.pop().unpersist()
         _live.append(df)
         return df
 
@@ -322,10 +331,17 @@ def main(argv: list[str] | None = None) -> int:
         # window-rank form of exact_dedup's keeper election: ONE
         # exchange on the text hash and no join back onto the corpus
         # (the groupBy+join form scans the stage twice and plans a
-        # second exchange).  Same survivor set as joining on
-        # exact_dedup().keeper_id: the min-non-null-id row per
-        # identical normalized text survives, null-id rows never do
-        # (min() skips nulls; an equi-join on doc_id drops them).
+        # second exchange).  For unique doc_ids this is exactly the
+        # old join-on-keeper_id survivor set: the min-non-null-id row
+        # per identical normalized text survives, null-id rows never
+        # do (min() skips nulls; an equi-join on doc_id drops them).
+        # For DUPLICATE doc_id rows the forms diverge — the join kept
+        # every row carrying the keeper id (including distinct texts
+        # under one id), the window keeps exactly one row per distinct
+        # normalized text — which is the semantics "exact dedup"
+        # actually promises; the operator-level exact_dedup() keeps
+        # the (keeper_id, n_copies) accounting contract for callers
+        # that need it.
         w = Window.partitionBy("_th").orderBy(F.asc_nulls_last("doc_id"))
         cur = (
             cur.withColumn("_th", F.md5(normalized_text(F.col("text"))))

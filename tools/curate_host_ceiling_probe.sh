@@ -44,7 +44,10 @@ echo "solo local[8]: ${SOLO}s"
 
 T0=$(date +%s.%N)
 for i in 1 2 3 4; do run_one "conc_$i" & done
-wait
+# bare `wait` always returns 0: collect each job's status so a
+# crashed JVM fails the probe instead of silently inflating the
+# efficiency (three survivors would under-measure the 4x arm)
+for pid in $(jobs -p); do wait "$pid"; done
 T1=$(date +%s.%N)
 CONC=$(python -c "print(round($T1-$T0,1))")
 echo "4x concurrent local[8] (slowest wall): ${CONC}s"

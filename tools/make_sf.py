@@ -97,11 +97,14 @@ def make_sf(src: str, dst: str, k: int) -> None:
         # rule): bound rows-per-group so every generated table carries
         # >= 64 of them — DuckDB's default 122 880-row groups gave
         # sf10's 500k-doc table 5 groups and capped every scan (and,
-        # through per-stage persists, whole jobs) at 5 tasks
+        # through per-stage persists, whole jobs) at 5 tasks.  Capped
+        # at the 122 880 default so groups only ever SHRINK: without
+        # the min, a 60M-row table would get 937k-row groups and scan
+        # NARROWER (64 splits) than the default layout (~489).
         n = con.execute(
             f"SELECT count(*) FROM '{src}/{table}.parquet'"
         ).fetchone()[0]
-        return max(2048, (n * k) // 64)
+        return max(2048, min(122_880, (n * k) // 64))
 
     for t, keys in KEYED.items():
         parts = []
@@ -168,7 +171,7 @@ def make_sf(src: str, dst: str, k: int) -> None:
     pq.write_table(
         tbl,
         f"{dst}/embeddings.parquet",
-        row_group_size=max(2048, len(tbl) // 64),
+        row_group_size=max(2048, min(122_880, len(tbl) // 64)),
     )
     print(f"wrote {dst} = {src} x {k}")
 
