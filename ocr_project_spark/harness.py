@@ -2681,6 +2681,38 @@ def q_scrub_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_passages(T(spark, sf_dir, "documents"), n=5, min_docs=2)
 
 
+def q_window_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided token-window chunking (operators/pack.window_documents)
+    at window=20/stride=15 — small enough that the ~50-token synthetic
+    documents emit multiple overlapping windows each."""
+    from ocr_project_spark.operators.pack import window_documents
+
+    return window_documents(
+        T(spark, sf_dir, "documents"), window=20, stride=15
+    )
+
+
+_SQL_WINDOW_DOCS = """
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), w AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         1 + greatest(0, CAST(ceil((len(toks) - 20) / 15.0) AS BIGINT)) AS n_win
+  FROM t
+), e AS (
+  -- generate_series can't take a lateral column parameter in DuckDB;
+  -- unnest(range(...)) is the per-row form
+  SELECT doc_id, toks, n, unnest(range(0, n_win)) AS i FROM w
+)
+SELECT doc_id,
+       i AS win_id,
+       i * 15 AS start,
+       array_to_string(toks[i*15+1 : i*15+20], ' ') AS text,
+       least(20, greatest(0, n - i*15)) AS n_tokens
+FROM e
+""".format(toks=_WORD_TOKS.format(c="text"))
+
+
 def q_scrub_passages_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sparse-duplication tier of the same operator: flagged
     vocabulary + blocked-starts broadcast, so the window stream and
@@ -3695,6 +3727,8 @@ LOCAL_QUERIES = {
     # rotated in the round-5 continuation: C9-C12 bucketing family
     # keeps driver coverage via quality_scores
     "bucket_ladder": q_bucket_ladder,
+    # strided pretraining windows (the pack_sequences dual)
+    "window_docs": q_window_docs,
     "gap_class": q_gap_class,
     "customers_no_orders": q_customers_no_orders,
     "customers_with_big_orders": q_customers_with_big_orders,
@@ -3740,6 +3774,7 @@ LOCAL_ORACLE_SQL = {
     "extract_chunked_spans": _SQL_EXTRACT_CHUNKED,
     "extract_pandas_spans": _SQL_EXTRACT_CHUNKED,
     "bucket_ladder": _SQL_BUCKET,
+    "window_docs": _SQL_WINDOW_DOCS,
     "gap_class": _SQL_GAP_CLASS,
     "customers_no_orders": _SQL_ANTI,
     "customers_with_big_orders": _SQL_SEMI,

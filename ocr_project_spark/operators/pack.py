@@ -130,3 +130,58 @@ def pack_sequences(
         list(base.fields) + [StructField("pack_id", StringType(), True)]
     )
     return slim.mapInPandas(kernel, out_schema)
+
+
+def window_documents(
+    docs: DataFrame,
+    window: int = 512,
+    stride: int = 384,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Strided token-window chunking — the pretraining dual of
+    ``pack_sequences``: where packing concatenates SHORT documents up
+    to a token budget, windowing splits LONG documents into
+    fixed-size overlapping training contexts (the HuggingFace
+    ``return_overflowing_tokens`` convention: windows start every
+    ``stride`` tokens, each ``window`` tokens long, the tail window
+    truncated — no token is lost, consecutive windows share
+    ``window - stride`` tokens of context).
+
+    Returns (doc_id, win_id, start, text, n_tokens), one row per
+    window, ``n_windows = 1 + max(0, ceil((n - window) / stride))``;
+    an empty/null document emits one empty window (win_id 0) so
+    callers keep never-drop accounting.
+
+    Scale shape: pure codegen'd HOF (tokens -> sequence -> slice ->
+    posexplode) with ZERO shuffle — chunking is row-local, the
+    narrowest possible plan; output rows inherit the scan
+    partitioning, so the input-layout rule (README) bounds the
+    write-side parallelism exactly as it bounds the scan.  The token
+    array is materialized in a projection first — an inline
+    ``word_tokens(text)`` inside the transform lambda would
+    re-tokenize the document once per window (the documented
+    O(tokens x windows) HOF trap, functions/text.chunk_tokens).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t")
+    )
+    n = F.size(F.col("_t"))
+    n_win = (
+        F.lit(1)
+        + F.greatest(F.lit(0), F.ceil((n - F.lit(window)) / F.lit(stride)))
+    ).cast("int")
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.slice(F.col("_t"), i * stride + 1, window),
+    )
+    ex = t.select("doc_id", F.posexplode(wins).alias("win_id", "_w"))
+    return ex.select(
+        "doc_id",
+        F.col("win_id").cast("long").alias("win_id"),
+        (F.col("win_id") * stride).cast("long").alias("start"),
+        F.array_join(F.col("_w"), " ").alias("text"),
+        F.size(F.col("_w")).cast("long").alias("n_tokens"),
+    )

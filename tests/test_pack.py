@@ -166,3 +166,75 @@ def test_pack_bounds_property_fuzz():
             assert all(b - a in (0, 1) for a, b in zip(got, got[1:]))
 
     check()
+
+
+def test_window_documents_exact_and_edges(spark):
+    """Strided windows follow the HF overflow convention: starts every
+    stride tokens, window-sized, truncated tail; empty/null docs emit
+    one empty window; tokens are word_tokens-normalized."""
+    from ocr_project_spark.operators.pack import window_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens
+            (2, "a b c"),           # exactly one window (n <= window)
+            (3, ""),                # empty -> one empty window
+            (4, None),              # null  -> one empty window
+        ],
+        "doc_id long, text string",
+    )
+    rows = window_documents(docs, window=3, stride=2).collect()
+    got = {(r.doc_id, r.win_id): (r.start, r.text, r.n_tokens) for r in rows}
+    # doc 1: n=7, n_win = 1 + ceil((7-3)/2) = 3
+    assert got[(1, 0)] == (0, "a b c", 3)
+    assert got[(1, 1)] == (2, "c d e", 3)
+    assert got[(1, 2)] == (4, "e f g", 3)
+    assert (1, 3) not in got
+    assert got[(2, 0)] == (0, "a b c", 3)
+    assert got[(3, 0)] == (0, "", 0)
+    assert got[(4, 0)] == (0, "", 0)
+
+
+def test_window_documents_coverage_and_plan(spark):
+    """Every token is covered (stride-stepped windows reconstruct the
+    document), and the plan is shuffle-free — chunking is row-local."""
+    import pyspark.sql.functions as F
+
+    from ocr_project_spark.functions.text import word_tokens
+    from ocr_project_spark.operators.pack import window_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    W, S = 20, 15
+    out = window_documents(docs, window=W, stride=S)
+    # reconstruction: concat each window's first S tokens (all of the
+    # last window) in win_id order == the original token stream
+    rebuilt = (
+        out.withColumn("_toks", F.split(F.col("text"), " "))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("win_id", "_toks"))
+                        ),
+                        lambda s: F.when(
+                            s["win_id"]
+                            == F.size(F.collect_list("win_id")) - 1,
+                            s["_toks"],
+                        ).otherwise(F.slice(s["_toks"], 1, S)),
+                    )
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    orig = docs.select(
+        "doc_id", F.array_join(word_tokens(F.col("text")), " ").alias("orig")
+    )
+    # window semantics guarantee full coverage; compare normalized text
+    joined = rebuilt.join(orig, "doc_id")
+    bad = joined.where(F.col("rebuilt") != F.col("orig")).count()
+    assert bad == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
