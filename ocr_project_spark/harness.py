@@ -2681,6 +2681,33 @@ def q_scrub_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_passages(T(spark, sf_dir, "documents"), n=5, min_docs=2)
 
 
+def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment
+    (operators/curate.split_corpus) — 80/10/10 bands over the same
+    md5-threshold hash hash_sample uses."""
+    from ocr_project_spark.operators.curate import split_corpus
+
+    return split_corpus(
+        T(spark, sf_dir, "documents").select("doc_id", "lang"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="r5",
+    )
+
+
+_SQL_SPLIT_CORPUS = """
+SELECT doc_id, lang,
+       CASE WHEN substring(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '{t80}' THEN 'train'
+            WHEN substring(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '{t90}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""".format(
+    t80=format(int(0.8 * 16**8), "08x"),
+    t90=format(int(0.9 * 16**8), "08x"),
+)
+
+
 def q_window_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strided token-window chunking (operators/pack.window_documents)
     at window=20/stride=15 — small enough that the ~50-token synthetic
@@ -3729,6 +3756,9 @@ LOCAL_QUERIES = {
     "bucket_ladder": q_bucket_ladder,
     # strided pretraining windows (the pack_sequences dual)
     "window_docs": q_window_docs,
+    # disjoint deterministic train/val/test bands (hash_sample's
+    # partition form)
+    "split_corpus": q_split_corpus,
     "gap_class": q_gap_class,
     "customers_no_orders": q_customers_no_orders,
     "customers_with_big_orders": q_customers_with_big_orders,
@@ -3775,6 +3805,7 @@ LOCAL_ORACLE_SQL = {
     "extract_pandas_spans": _SQL_EXTRACT_CHUNKED,
     "bucket_ladder": _SQL_BUCKET,
     "window_docs": _SQL_WINDOW_DOCS,
+    "split_corpus": _SQL_SPLIT_CORPUS,
     "gap_class": _SQL_GAP_CLASS,
     "customers_no_orders": _SQL_ANTI,
     "customers_with_big_orders": _SQL_SEMI,

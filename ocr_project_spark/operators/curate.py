@@ -348,6 +348,51 @@ def hash_sample(
     return df.where(keep)
 
 
+def split_corpus(
+    df: DataFrame,
+    splits: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic DISJOINT multi-way corpus split (train/val/test):
+    every row gets exactly one ``split`` label, assigned by which
+    cumulative md5-threshold band the row's content hash falls into —
+    the same hash machinery as :func:`hash_sample`, so the assignment
+    is reproducible across runs, cluster sizes and repartitionings,
+    stable under incremental reruns, and a pure narrow projection (no
+    shuffle, no RNG state).  ``hash_sample`` draws ONE fraction;
+    independent draws with different salts can overlap — this is the
+    partition form a train/val/test layout actually needs: disjoint
+    and exhaustive by construction.
+
+    ``splits`` maps label -> fraction and must sum to 1.0 (±1e-6);
+    band layout follows dict insertion order, so the same
+    (splits, salt) always yields the same assignment.  NULL keys hash
+    the same sentinel as hash_sample (one deterministic verdict, never
+    silently dropped).  The last band absorbs the residual hash range,
+    so float rounding in the cumulative thresholds can never leave a
+    row unlabeled.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    prefix = f"{salt}|" if salt else ""
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00<null-key>"))
+    h = F.substring(F.md5(F.concat(F.lit(prefix), key_str)), 1, 8)
+    labels = list(splits)
+    expr = None
+    cum = 0.0
+    for name in labels[:-1]:
+        cum += splits[name]
+        cond = h < F.lit(_hash_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(labels[-1])
+    label = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", label)
+
+
 def cap_per_source(
     df: DataFrame,
     cap: int,

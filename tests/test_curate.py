@@ -1108,3 +1108,39 @@ def test_repetition_stats_plan_is_exchange_free(spark):
         3,
         2,
     )
+
+
+def test_split_corpus_disjoint_exhaustive_deterministic(spark):
+    """split_corpus: every row exactly one label; fractions approx;
+    same (splits, salt) reproduces the assignment across
+    repartitionings; different salt draws a different partition;
+    null keys get one deterministic verdict; bad fractions raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.curate import split_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_corpus(docs, splits, salt="s1")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n            # exhaustive
+    assert set(counts) <= set(splits)
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.06
+    # deterministic across partitionings
+    again = split_corpus(docs.repartition(7), splits, salt="s1")
+    assert out.exceptAll(again).count() == 0
+    # a different salt reshuffles the bands
+    other = split_corpus(docs, splits, salt="s2")
+    assert out.exceptAll(other).count() > 0
+    # null keys: one deterministic label, never dropped
+    null_df = spark.createDataFrame([(None, "x")], "doc_id string, text string")
+    lbl = split_corpus(null_df, splits, salt="s1").collect()
+    assert len(lbl) == 1 and lbl[0]["split"] in splits
+    with _pytest.raises(ValueError):
+        split_corpus(docs, {"train": 0.5, "val": 0.2})
+    # narrow plan: no exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
