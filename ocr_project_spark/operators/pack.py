@@ -165,6 +165,12 @@ def window_documents(
     """
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
+    if stride > window:
+        # stride > window leaves inter-window token gaps (violating the
+        # no-token-lost contract) and the window-count formula then
+        # over-counts, emitting empty trailing windows — caught by the
+        # hypothesis fuzz (test_properties) on ('the the', W=1, S=2)
+        raise ValueError("stride must be <= window (overlap convention)")
     t = docs.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_t")
     )

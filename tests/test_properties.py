@@ -259,3 +259,47 @@ def test_corpus_scorers_invariant_to_partition_count(spark):
         b = rows(build(docs.repartition(16)))
         assert a == b
         assert len(a) > 0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(texts, min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+)
+def test_window_documents_properties(batch_texts, window, raw_stride):
+    stride = min(raw_stride, window)  # operator enforces stride <= window
+    """Fuzzed invariants for the strided chunker: exactly
+    1+max(0,ceil((n-W)/S)) windows per doc; window i starts at i*S and
+    carries min(W, n-i*S) tokens; stride-stepped reconstruction equals
+    the normalized token stream; no window empty unless the doc is."""
+    import math
+
+    from ocr_project_spark.operators.pack import window_documents
+    from ocr_project_spark.session import get_spark
+
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    df = s.createDataFrame(
+        [(i, t) for i, t in enumerate(batch_texts)], "doc_id long, text string"
+    )
+    rows = window_documents(df, window=window, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.win_id] = r
+    import re
+
+    for i, t in enumerate(batch_texts):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        n = len(toks)
+        n_win = 1 + max(0, math.ceil((n - window) / stride))
+        wins = by_doc[i]
+        assert set(wins) == set(range(n_win))
+        rebuilt = []
+        for j in range(n_win):
+            r = wins[j]
+            expect = toks[j * stride : j * stride + window]
+            assert r.start == j * stride
+            assert r.n_tokens == len(expect)
+            assert r.text == " ".join(expect)
+            rebuilt.extend(expect if j == n_win - 1 else expect[:stride])
+        assert rebuilt[: len(toks)] == toks
